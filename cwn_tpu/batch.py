@@ -1,0 +1,333 @@
+"""Packing complexes into padded, static-shape device buffers.
+
+This is the TPU-first replacement for the reference's dynamic
+`CochainBatch.from_cochain_list` / `ComplexBatch.from_complex_list`
+(/root/reference/data/complex.py:323-458,690-728).  Instead of per-batch
+dynamic shapes, a batch of complexes is packed host-side into ONE pytree of
+fixed-size arrays per cochain dimension:
+
+- cells of each dim are concatenated across complexes (same offset rules as
+  the reference's `__inc__`) and padded to a planned size;
+- all adjacency edge lists are offset, **sorted by destination cell** (so the
+  on-device aggregation is a sorted segment reduction, not a random scatter),
+  and padded;
+- padded edges point at the last (padding) cell with mask 0, preserving
+  sortedness; padded cells carry batch id `batch_size` (a trash segment
+  sliced off after pooling).
+
+Static shapes mean XLA compiles once per pad plan; the loader buckets
+batches so only a handful of plans ever exist.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from flax import struct
+
+from cwn_tpu.complex import Complex
+
+
+def _round_up(n: int, multiple: int) -> int:
+    if n <= 0:
+        return multiple
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+@struct.dataclass
+class CochainBuffers:
+    """Padded device buffers for one cochain dimension of a batch."""
+
+    x: Optional[np.ndarray]            # [N, F] float
+    cell_mask: np.ndarray              # [N] float32, 1 = valid cell
+    batch: np.ndarray                  # [N] int32, complex id (pad -> batch_size)
+    # Upper adjacency (messages j -> i along shared (k+1)-coboundaries).
+    up_src: np.ndarray                 # [E_up] int32
+    up_dst: np.ndarray                 # [E_up] int32 (sorted ascending)
+    up_cob: np.ndarray                 # [E_up] int32, pointer into dim k+1 cells
+    up_mask: np.ndarray                # [E_up] float32
+    # Lower adjacency (messages along shared (k-1)-boundaries).
+    down_src: np.ndarray               # [E_dn] int32
+    down_dst: np.ndarray               # [E_dn] int32 (sorted ascending)
+    down_shared: np.ndarray            # [E_dn] int32, pointer into dim k-1 cells
+    down_mask: np.ndarray              # [E_dn] float32
+    # Boundary links (messages from (k-1)-boundary cells into k-cells).
+    b_src: np.ndarray                  # [E_b] int32, cell id in dim k-1
+    b_dst: np.ndarray                  # [E_b] int32, cell id in dim k (sorted)
+    b_mask: np.ndarray                 # [E_b] float32
+    # Optional +-1 orientations (trajectory models).
+    up_orient: Optional[np.ndarray]    # [E_up] float
+    down_orient: Optional[np.ndarray]  # [E_dn] float
+    y: Optional[np.ndarray]            # [N] per-cell labels
+
+    @property
+    def num_cells_padded(self) -> int:
+        return int(self.cell_mask.shape[0])
+
+    @property
+    def num_features(self) -> int:
+        return 0 if self.x is None else int(self.x.shape[-1])
+
+
+@struct.dataclass
+class ComplexBatch:
+    """A batch of complexes as one static-shape pytree."""
+
+    dims: Tuple[CochainBuffers, ...]
+    y: Optional[np.ndarray]            # [batch_size] complex labels
+    y_mask: np.ndarray                 # [batch_size] float32, 1 = real complex
+    batch_size: int = struct.field(pytree_node=False)
+    max_dim: int = struct.field(pytree_node=False)
+
+    @property
+    def num_complexes(self) -> int:
+        return self.batch_size
+
+
+@dataclasses.dataclass(frozen=True)
+class PadPlan:
+    """Static pad sizes for a batch; determines the compiled program shape."""
+
+    batch_size: int
+    num_cells: Tuple[int, ...]         # per dim
+    num_up: Tuple[int, ...]
+    num_down: Tuple[int, ...]
+    num_boundary: Tuple[int, ...]
+
+    @staticmethod
+    def for_complexes(complexes: Sequence[Complex], max_dim: int,
+                      batch_size: Optional[int] = None,
+                      pad_multiple: int = 128) -> "PadPlan":
+        nc = [0] * (max_dim + 1)
+        nu = [0] * (max_dim + 1)
+        nd = [0] * (max_dim + 1)
+        nb = [0] * (max_dim + 1)
+        for c in complexes:
+            for k in range(max_dim + 1):
+                co = c.cochains.get(k)
+                if co is None:
+                    continue
+                nc[k] += co.num_cells or 0
+                nu[k] += co.num_upper_edges
+                nd[k] += co.num_lower_edges
+                nb[k] += co.num_boundary_links
+        return PadPlan(
+            batch_size=batch_size or len(complexes),
+            num_cells=tuple(_round_up(n, pad_multiple) for n in nc),
+            num_up=tuple(_round_up(n, pad_multiple) for n in nu),
+            num_down=tuple(_round_up(n, pad_multiple) for n in nd),
+            num_boundary=tuple(_round_up(n, pad_multiple) for n in nb),
+        )
+
+    def covers(self, other: "PadPlan") -> bool:
+        return (self.batch_size >= other.batch_size
+                and all(a >= b for a, b in zip(self.num_cells, other.num_cells))
+                and all(a >= b for a, b in zip(self.num_up, other.num_up))
+                and all(a >= b for a, b in zip(self.num_down, other.num_down))
+                and all(a >= b for a, b in zip(self.num_boundary, other.num_boundary)))
+
+    @staticmethod
+    def union(plans: Sequence["PadPlan"]) -> "PadPlan":
+        return PadPlan(
+            batch_size=max(p.batch_size for p in plans),
+            num_cells=tuple(np.max([p.num_cells for p in plans], axis=0)),
+            num_up=tuple(np.max([p.num_up for p in plans], axis=0)),
+            num_down=tuple(np.max([p.num_down for p in plans], axis=0)),
+            num_boundary=tuple(np.max([p.num_boundary for p in plans], axis=0)),
+        )
+
+
+def _pad_edges(src, dst, extra, orient, pad_to: int, dst_trash: int,
+               src_trash: int):
+    """Sort (src, dst, extra, orient) by dst and pad to `pad_to` with masked
+    edges.  Padded dst point at the last cell of the destination dim (keeps
+    dst ascending); padded src point at the last cell of the *source* dim,
+    which may be a different dimension (boundary links)."""
+    e = len(dst)
+    order = np.argsort(dst, kind="stable") if e else np.arange(0)
+    src = np.asarray(src, dtype=np.int32)[order]
+    dst = np.asarray(dst, dtype=np.int32)[order]
+    extra = None if extra is None else np.asarray(extra, dtype=np.int32)[order]
+    orient = None if orient is None else np.asarray(orient, dtype=np.float32)[order]
+
+    pad = pad_to - e
+    assert pad >= 0, f"pad plan too small: {e} > {pad_to}"
+    mask = np.concatenate([np.ones(e, np.float32), np.zeros(pad, np.float32)])
+    src = np.concatenate([src, np.full(pad, src_trash, np.int32)])
+    dst = np.concatenate([dst, np.full(pad, dst_trash, np.int32)])
+    if extra is not None:
+        extra = np.concatenate([extra, np.zeros(pad, np.int32)])
+    if orient is not None:
+        orient = np.concatenate([orient, np.zeros(pad, np.float32)])
+    return src, dst, extra, orient, mask
+
+
+def pack_complexes(complexes: Sequence[Complex], max_dim: int,
+                   plan: Optional[PadPlan] = None,
+                   pad_multiple: int = 128,
+                   x_dtype=np.float32,
+                   keep_top_upper: bool = False) -> ComplexBatch:
+    """Concatenate + offset + sort + pad a list of complexes into a ComplexBatch."""
+    b = len(complexes)
+    if plan is None:
+        plan = PadPlan.for_complexes(complexes, max_dim, pad_multiple=pad_multiple)
+    assert plan.batch_size >= b
+
+    # Per-dim accumulators.
+    xs: List[List[np.ndarray]] = [[] for _ in range(max_dim + 1)]
+    ys: List[List[np.ndarray]] = [[] for _ in range(max_dim + 1)]
+    batch_vec: List[List[np.ndarray]] = [[] for _ in range(max_dim + 1)]
+    ups: List[List[np.ndarray]] = [[] for _ in range(max_dim + 1)]       # [src,dst]
+    up_cobs: List[List[np.ndarray]] = [[] for _ in range(max_dim + 1)]
+    up_orients: List[List[np.ndarray]] = [[] for _ in range(max_dim + 1)]
+    downs: List[List[np.ndarray]] = [[] for _ in range(max_dim + 1)]
+    down_shareds: List[List[np.ndarray]] = [[] for _ in range(max_dim + 1)]
+    down_orients: List[List[np.ndarray]] = [[] for _ in range(max_dim + 1)]
+    bnds: List[List[np.ndarray]] = [[] for _ in range(max_dim + 1)]      # [src(k-1),dst(k)]
+    offsets = [0] * (max_dim + 1)
+
+    feat_dims = [None] * (max_dim + 1)
+    any_up_orient = [False] * (max_dim + 1)
+    any_down_orient = [False] * (max_dim + 1)
+    any_cell_y = [False] * (max_dim + 1)
+    for c in complexes:
+        for k in range(max_dim + 1):
+            co = c.cochains.get(k)
+            if co is None:
+                continue
+            if co.x is not None:
+                feat_dims[k] = int(co.x.shape[1]) if feat_dims[k] is None \
+                    else feat_dims[k]
+            if co.upper_orient is not None:
+                any_up_orient[k] = True
+            if co.lower_orient is not None:
+                any_down_orient[k] = True
+            if co.y is not None:
+                any_cell_y[k] = True
+
+    complex_ys = []
+    for ci, c in enumerate(complexes):
+        if c.y is not None:
+            complex_ys.append(np.asarray(c.y).reshape(-1))
+        # Snapshot the offsets at complex entry: every dim of this complex is
+        # offset by the cell counts of *previous* complexes only.
+        base = list(offsets)
+        for k in range(max_dim + 1):
+            co = c.cochains.get(k)
+            if co is None:
+                continue
+            n = co.num_cells or 0
+            off = base[k]
+            off_dn = base[k - 1] if k > 0 else 0
+            off_up = base[k + 1] if k < max_dim else 0
+            if co.x is not None:
+                xs[k].append(np.asarray(co.x, dtype=x_dtype))
+            elif feat_dims[k] is not None and n > 0:
+                xs[k].append(np.zeros((n, feat_dims[k]), dtype=x_dtype))
+            if any_cell_y[k] and co.y is not None:
+                ys[k].append(np.asarray(co.y).reshape(-1))
+            batch_vec[k].append(np.full(n, ci, dtype=np.int32))
+
+            # Upper adjacency at the top dim is dropped by default: its shared
+            # coboundaries live in dim max_dim+1, which is not packed.  This
+            # mirrors the reference batching, where cochains above max_dim are
+            # discarded and `(dim+1) in cochains` fails in get_cochain_params
+            # (/root/reference/data/complex.py:575, 690-728).  `keep_top_upper`
+            # retains them with zeroed coboundary pointers — the oriented
+            # trajectory models need top-dim upper edges but only consume
+            # per-edge orientations, never coboundary features.
+            if co.upper_index is not None and (k < max_dim or keep_top_upper):
+                ups[k].append(co.upper_index + off)
+                if k < max_dim:
+                    up_cobs[k].append(co.shared_coboundaries + off_up)
+                else:
+                    up_cobs[k].append(np.zeros(co.num_upper_edges, np.int64))
+                if co.upper_orient is not None:
+                    up_orients[k].append(co.upper_orient)
+            if co.lower_index is not None:
+                downs[k].append(co.lower_index + off)
+                down_shareds[k].append(co.shared_boundaries + off_dn)
+                if co.lower_orient is not None:
+                    down_orients[k].append(co.lower_orient)
+            if co.boundary_index is not None:
+                bi = co.boundary_index.copy()
+                bi[0] += off_dn
+                bi[1] += off
+                bnds[k].append(bi)
+            offsets[k] += n
+
+    dims = []
+    for k in range(max_dim + 1):
+        n_pad = plan.num_cells[k]
+        n = offsets[k]
+        assert n <= n_pad, f"dim {k}: {n} cells > plan {n_pad}"
+        trash = n_pad - 1
+
+        f = feat_dims[k]
+        if f is not None:
+            x_cat = (np.concatenate(xs[k], axis=0) if xs[k]
+                     else np.zeros((0, f), dtype=x_dtype))
+            x = np.zeros((n_pad, f), dtype=x_dtype)
+            x[:n] = x_cat
+        else:
+            x = None
+
+        cell_mask = np.zeros(n_pad, np.float32)
+        cell_mask[:n] = 1.0
+        bvec = np.full(n_pad, plan.batch_size, np.int32)
+        if n:
+            bvec[:n] = np.concatenate(batch_vec[k])
+
+        up = (np.concatenate(ups[k], axis=1) if ups[k]
+              else np.zeros((2, 0), np.int64))
+        cob = (np.concatenate(up_cobs[k]) if up_cobs[k] else np.zeros(0, np.int64))
+        uo = (np.concatenate(up_orients[k]) if up_orients[k] else None) \
+            if any_up_orient[k] else None
+        up_src, up_dst, up_cob, up_orient, up_mask = _pad_edges(
+            up[0], up[1], cob, uo, plan.num_up[k], trash, trash)
+
+        dn = (np.concatenate(downs[k], axis=1) if downs[k]
+              else np.zeros((2, 0), np.int64))
+        shd = (np.concatenate(down_shareds[k]) if down_shareds[k]
+               else np.zeros(0, np.int64))
+        do = (np.concatenate(down_orients[k]) if down_orients[k] else None) \
+            if any_down_orient[k] else None
+        down_src, down_dst, down_shared, down_orient, down_mask = _pad_edges(
+            dn[0], dn[1], shd, do, plan.num_down[k], trash, trash)
+
+        bd = (np.concatenate(bnds[k], axis=1) if bnds[k]
+              else np.zeros((2, 0), np.int64))
+        src_trash = (plan.num_cells[k - 1] - 1) if k > 0 else 0
+        b_src, b_dst, _, _, b_mask = _pad_edges(
+            bd[0], bd[1], None, None, plan.num_boundary[k], trash, src_trash)
+
+        ycells = None
+        if any_cell_y[k] and ys[k]:
+            y_cat = np.concatenate(ys[k])
+            ycells = np.zeros(n_pad, dtype=y_cat.dtype)
+            ycells[:len(y_cat)] = y_cat
+
+        dims.append(CochainBuffers(
+            x=x, cell_mask=cell_mask, batch=bvec,
+            up_src=up_src, up_dst=up_dst, up_cob=up_cob, up_mask=up_mask,
+            down_src=down_src, down_dst=down_dst, down_shared=down_shared,
+            down_mask=down_mask,
+            b_src=b_src, b_dst=b_dst, b_mask=b_mask,
+            up_orient=up_orient, down_orient=down_orient, y=ycells))
+
+    # Complex-level labels.
+    y = None
+    y_mask = np.zeros(plan.batch_size, np.float32)
+    y_mask[:b] = 1.0
+    if complex_ys:
+        assert len(complex_ys) == b, "all or no complexes must have labels"
+        y_cat = np.stack([np.asarray(v) for v in complex_ys])
+        if y_cat.shape[1] == 1:
+            y_cat = y_cat[:, 0]
+        pad_shape = (plan.batch_size,) + y_cat.shape[1:]
+        y = np.zeros(pad_shape, dtype=y_cat.dtype)
+        y[:b] = y_cat
+
+    return ComplexBatch(dims=tuple(dims), y=y, y_mask=y_mask,
+                        batch_size=plan.batch_size, max_dim=max_dim)

@@ -1,0 +1,319 @@
+"""SparseCIN / CIN++ — the headline CW-network models.
+
+Functional flax re-designs of /root/reference/mp/layers.py:154-427 and
+/root/reference/mp/models.py:112-284.  Per conv layer, every cochain
+dimension is updated simultaneously from the pre-layer features:
+
+  out_up  = segsum_up( msg_up(x_j, coboundary_attr) ) + (1+eps1) x
+  out_bnd = segsum_b( x_{k-1}[b_src] )               + (1+eps2) x
+  y_k     = combine(cat(update_up(out_up), update_bnd(out_bnd)))
+
+CIN++ adds the lower-adjacency channel with its own eps/update nets and a
+3-way combine.  All aggregations are masked destination-sorted segment sums
+over the padded static buffers.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cwn_tpu.batch import ComplexBatch
+from cwn_tpu.mp import gather_down_attr, gather_up_attr, propagate
+from cwn_tpu.nn import (
+    GraphNorm,
+    Linear,
+    UpdateMLP,
+    get_nonlinearity,
+    pool_cells,
+)
+
+
+class SparseCINCochainConv(nn.Module):
+    """One dimension's conv: boundary + upper-adjacency channels.
+
+    Parity: /root/reference/mp/layers.py:154-214 (SparseCINCochainConv).
+    """
+
+    dim: int
+    hidden: int
+    act: str = "relu"
+    norm: str = "bn"
+    use_coboundaries: bool = False
+    train_eps: bool = False
+    init_eps: float = 0.0
+
+    @nn.compact
+    def __call__(self, buf, x, x_up, boundary_attr, train: bool = False):
+        act = get_nonlinearity(self.act)
+        layer_dim = x.shape[-1]
+
+        if self.train_eps:
+            eps1 = self.param("eps1", nn.initializers.constant(self.init_eps), (1,))
+            eps2 = self.param("eps2", nn.initializers.constant(self.init_eps), (1,))
+        else:
+            eps1 = eps2 = self.init_eps
+
+        if self.use_coboundaries:
+            if x_up is not None:
+                up_attr = gather_up_attr(buf, x_up)
+            else:
+                up_attr = jnp.zeros((buf.up_src.shape[0], layer_dim), x.dtype)
+            msg_up_dense = Linear(layer_dim, name="msg_up")
+
+            def message_up(up_x_j, attr):
+                return act(msg_up_dense(jnp.concatenate([up_x_j, attr], axis=-1)))
+        else:
+            up_attr = None
+
+            def message_up(up_x_j, attr):
+                return up_x_j
+
+        out_up, _, out_bnd = propagate(
+            buf, x, up_attr=up_attr, boundary_attr=boundary_attr,
+            message_up=message_up,
+            message_boundary=(lambda b: b) if boundary_attr is not None else None)
+
+        out_up = out_up + (1.0 + eps1) * x
+        out_bnd = out_bnd + (1.0 + eps2) * x
+        out_up = UpdateMLP(self.hidden, self.act, self.norm, name="update_up")(
+            out_up, mask=buf.cell_mask, train=train)
+        out_bnd = UpdateMLP(self.hidden, self.act, self.norm,
+                            name="update_boundaries")(
+            out_bnd, mask=buf.cell_mask, train=train)
+
+        combined = Linear(self.hidden, name="combine")(
+            jnp.concatenate([out_up, out_bnd], axis=-1))
+        combined = GraphNorm(self.norm, name="combine_norm")(
+            combined, mask=buf.cell_mask, train=train)
+        return act(combined)
+
+
+class CINppCochainConv(nn.Module):
+    """CIN++ per-dim conv: boundary + upper + lower channels.
+
+    Parity: /root/reference/mp/layers.py:216-260 (CINppCochainConv); eps
+    assignment follows its forward: eps1 -> up, eps2 -> down, eps3 -> boundary.
+    """
+
+    dim: int
+    hidden: int
+    act: str = "relu"
+    norm: str = "bn"
+    use_coboundaries: bool = False
+    train_eps: bool = False
+    init_eps: float = 0.0
+
+    @nn.compact
+    def __call__(self, buf, x, x_up, x_down, boundary_attr, train: bool = False):
+        act = get_nonlinearity(self.act)
+        layer_dim = x.shape[-1]
+
+        if self.train_eps:
+            eps1 = self.param("eps1", nn.initializers.constant(self.init_eps), (1,))
+            eps2 = self.param("eps2", nn.initializers.constant(self.init_eps), (1,))
+            eps3 = self.param("eps3", nn.initializers.constant(self.init_eps), (1,))
+        else:
+            eps1 = eps2 = eps3 = self.init_eps
+
+        if self.use_coboundaries:
+            up_attr = (gather_up_attr(buf, x_up) if x_up is not None
+                       else jnp.zeros((buf.up_src.shape[0], layer_dim), x.dtype))
+            down_attr = (gather_down_attr(buf, x_down) if x_down is not None
+                         else jnp.zeros((buf.down_src.shape[0], layer_dim), x.dtype))
+            msg_up_dense = Linear(layer_dim, name="msg_up")
+            msg_down_dense = Linear(layer_dim, name="msg_down")
+
+            def message_up(xj, attr):
+                return act(msg_up_dense(jnp.concatenate([xj, attr], axis=-1)))
+
+            def message_down(xj, attr):
+                return act(msg_down_dense(jnp.concatenate([xj, attr], axis=-1)))
+        else:
+            up_attr = down_attr = None
+
+            def message_up(xj, attr):
+                return xj
+
+            def message_down(xj, attr):
+                return xj
+
+        out_up, out_down, out_bnd = propagate(
+            buf, x, up_attr=up_attr, down_attr=down_attr,
+            boundary_attr=boundary_attr,
+            message_up=message_up, message_down=message_down,
+            message_boundary=(lambda b: b) if boundary_attr is not None else None)
+
+        out_up = out_up + (1.0 + eps1) * x
+        out_down = out_down + (1.0 + eps2) * x
+        out_bnd = out_bnd + (1.0 + eps3) * x
+        out_up = UpdateMLP(self.hidden, self.act, self.norm, name="update_up")(
+            out_up, mask=buf.cell_mask, train=train)
+        out_down = UpdateMLP(self.hidden, self.act, self.norm,
+                             name="update_down")(
+            out_down, mask=buf.cell_mask, train=train)
+        out_bnd = UpdateMLP(self.hidden, self.act, self.norm,
+                            name="update_boundaries")(
+            out_bnd, mask=buf.cell_mask, train=train)
+
+        combined = Linear(self.hidden, name="combine")(
+            jnp.concatenate([out_up, out_down, out_bnd], axis=-1))
+        combined = GraphNorm(self.norm, name="combine_norm")(
+            combined, mask=buf.cell_mask, train=train)
+        return act(combined)
+
+
+class SparseCINLayer(nn.Module):
+    """One conv over all dims (simultaneous update from pre-layer features).
+
+    Parity: /root/reference/mp/layers.py:271-342 (SparseCINConv.forward).
+    """
+
+    hidden: int
+    act: str = "relu"
+    norm: str = "bn"
+    use_coboundaries: bool = False
+    train_eps: bool = False
+    max_dim: int = 2
+    include_down: bool = False       # True -> CIN++ convs
+    include_boundary_features: bool = True
+    include_top_features: bool = True
+
+    @nn.compact
+    def __call__(self, data: ComplexBatch, xs, train: bool = False,
+                 start_to_process: int = 0):
+        out = []
+        for k in range(self.max_dim + 1):
+            if k < start_to_process:
+                out.append(xs[k])
+                continue
+            buf = data.dims[k]
+            x_up = xs[k + 1] if k < self.max_dim else None
+            x_down = xs[k - 1] if k > 0 else None
+            b_attr = xs[k - 1] if (k > 0 and self.include_boundary_features) else None
+            if self.include_down:
+                conv = CINppCochainConv(
+                    dim=k, hidden=self.hidden, act=self.act, norm=self.norm,
+                    use_coboundaries=self.use_coboundaries,
+                    train_eps=self.train_eps, name=f"dim{k}")
+                out.append(conv(buf, xs[k], x_up, x_down, b_attr, train=train))
+            else:
+                conv = SparseCINCochainConv(
+                    dim=k, hidden=self.hidden, act=self.act, norm=self.norm,
+                    use_coboundaries=self.use_coboundaries,
+                    train_eps=self.train_eps, name=f"dim{k}")
+                out.append(conv(buf, xs[k], x_up, b_attr, train=train))
+        return out
+
+
+class SparseCIN(nn.Module):
+    """The main CW-network benchmark model.
+
+    Parity: /root/reference/mp/models.py:112-257 (SparseCIN), including the
+    `include_partial` per-layer activation hook used for parity testing.
+    """
+
+    num_input_features: int
+    num_classes: int
+    num_layers: int
+    hidden: int
+    dropout_rate: float = 0.5
+    max_dim: int = 2
+    jump_mode: Optional[str] = None
+    nonlinearity: str = "relu"
+    readout: str = "sum"
+    train_eps: bool = False
+    final_hidden_multiplier: int = 2
+    use_coboundaries: bool = False
+    readout_dims: Tuple[int, ...] = (0, 1, 2)
+    final_readout: str = "sum"
+    apply_dropout_before: str = "lin2"
+    graph_norm: str = "bn"
+    include_down: bool = False       # True -> CIN++
+
+    def _readout_dims(self):
+        if self.readout_dims is not None:
+            return tuple(d for d in self.readout_dims if d <= self.max_dim)
+        return tuple(range(self.max_dim + 1))
+
+    @nn.compact
+    def __call__(self, data: ComplexBatch, train: bool = False,
+                 include_partial: bool = False):
+        act = get_nonlinearity(self.nonlinearity)
+        readout_dims = self._readout_dims()
+        res = {}
+
+        xs = []
+        for buf in data.dims:
+            if buf.x is not None:
+                xs.append(buf.x)
+            else:
+                xs.append(jnp.zeros((buf.cell_mask.shape[0],
+                                     self.num_input_features), jnp.float32))
+
+        jump_xs = [[] for _ in xs] if self.jump_mode is not None else None
+        for c in range(self.num_layers):
+            xs = SparseCINLayer(
+                hidden=self.hidden, act=self.nonlinearity, norm=self.graph_norm,
+                use_coboundaries=self.use_coboundaries, train_eps=self.train_eps,
+                max_dim=self.max_dim, include_down=self.include_down,
+                name=f"conv{c}")(data, xs, train=train)
+            if include_partial:
+                for k in range(len(xs)):
+                    res[f"layer{c}_{k}"] = xs[k]
+            if jump_xs is not None:
+                for i, x in enumerate(xs):
+                    jump_xs[i].append(x)
+
+        if self.jump_mode == "cat":
+            xs = [jnp.concatenate(js, axis=-1) for js in jump_xs]
+        elif self.jump_mode == "max":
+            xs = [jnp.max(jnp.stack(js, 0), axis=0) for js in jump_xs]
+
+        pooled = [
+            pool_cells(xs[k], data.dims[k].batch, data.dims[k].cell_mask,
+                       data.batch_size, self.readout)
+            for k in range(self.max_dim + 1)
+        ]
+        sel = [pooled[i] for i in readout_dims]
+        if include_partial:
+            for k in range(len(sel)):
+                res[f"pool_{k}"] = sel[k]
+
+        dropout = nn.Dropout(rate=self.dropout_rate)
+        new_xs = []
+        for i, x in enumerate(sel):
+            if self.apply_dropout_before == "lin1":
+                x = dropout(x, deterministic=not train)
+            lin1 = Linear(self.final_hidden_multiplier * self.hidden,
+                          use_bias=(self.jump_mode != "cat"),
+                          name=f"lin1_{readout_dims[i]}")
+            new_xs.append(act(lin1(x)))
+
+        x = jnp.stack(new_xs, axis=0)
+        if self.apply_dropout_before == "final_readout":
+            x = dropout(x, deterministic=not train)
+        if self.final_readout == "mean":
+            x = jnp.mean(x, axis=0)
+        elif self.final_readout == "sum":
+            x = jnp.sum(x, axis=0)
+        else:
+            raise NotImplementedError
+        if self.apply_dropout_before not in ("lin1", "final_readout"):
+            x = dropout(x, deterministic=not train)
+
+        x = Linear(self.num_classes, name="lin2")(x)
+
+        if include_partial:
+            res["out"] = x
+            return x, res
+        return x
+
+
+class CINpp(SparseCIN):
+    """SparseCIN + lower-adjacency channel (CIN++).
+
+    Parity: /root/reference/mp/models.py:259-284."""
+
+    include_down: bool = True

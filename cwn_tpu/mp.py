@@ -1,0 +1,95 @@
+"""The functional cochain message-passing engine.
+
+Replaces the reference's reflection-driven `CochainMessagePassing.propagate`
+(/root/reference/mp/cell_mp.py:357-524) with explicit dataflow over the
+padded buffers of `cwn_tpu.batch.CochainBuffers`:
+
+  up channel:        msg = f_up(x[up_src], up_attr)        -> segsum into up_dst
+  down channel:      msg = f_down(x[down_src], down_attr)  -> segsum into down_dst
+  boundary channel:  msg = f_b(boundary_attr[b_src])       -> segsum into b_dst
+
+where `up_attr` is the feature row of the shared coboundary
+(x_{k+1}[up_cob]) and `down_attr` of the shared boundary
+(x_{k-1}[down_shared]); orientation models override these with per-edge
++-1 signs.  Missing channels yield zeros, matching the reference's
+zero-fill update (/root/reference/mp/cell_mp.py:517-522).
+
+All reductions are masked, destination-sorted segment reductions with a
+static segment count — XLA compiles them to sorted segment sums on TPU.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from cwn_tpu.batch import CochainBuffers
+from cwn_tpu.ops import segment_reduce
+
+
+def gather_up_attr(buf: CochainBuffers, x_up: Optional[jnp.ndarray]):
+    """Features of the shared coboundary of each upper edge ([E_up, F])."""
+    if x_up is None:
+        return None
+    return jnp.take(x_up, buf.up_cob, axis=0, mode='clip')
+
+
+def gather_down_attr(buf: CochainBuffers, x_down: Optional[jnp.ndarray]):
+    """Features of the shared boundary of each lower edge ([E_dn, F])."""
+    if x_down is None:
+        return None
+    return jnp.take(x_down, buf.down_shared, axis=0, mode='clip')
+
+
+def propagate(buf: CochainBuffers,
+              x: jnp.ndarray,
+              up_attr: Optional[jnp.ndarray] = None,
+              down_attr: Optional[jnp.ndarray] = None,
+              boundary_attr: Optional[jnp.ndarray] = None,
+              message_up: Optional[Callable] = None,
+              message_down: Optional[Callable] = None,
+              message_boundary: Optional[Callable] = None,
+              aggr_up: str = "add",
+              aggr_down: str = "add",
+              aggr_boundary: str = "add"):
+    """Run the three adjacency channels; returns (up_out, down_out, boundary_out).
+
+    Channels run when a message function is given AND the buffer has slots;
+    otherwise their output is zeros shaped like the message output (here:
+    like x, since all shipped message functions preserve feature size).
+    """
+    n = x.shape[0]
+    zeros = jnp.zeros_like(x)
+
+    up_out = zeros
+    if message_up is not None and buf.up_src.shape[0] > 0:
+        up_x_j = jnp.take(x, buf.up_src, axis=0, mode='clip')
+        msg = message_up(up_x_j, up_attr)
+        up_out = segment_reduce(aggr_up)(
+            msg, buf.up_dst, n, mask=buf.up_mask, indices_are_sorted=True)
+
+    down_out = zeros
+    if message_down is not None and buf.down_src.shape[0] > 0:
+        down_x_j = jnp.take(x, buf.down_src, axis=0, mode='clip')
+        msg = message_down(down_x_j, down_attr)
+        down_out = segment_reduce(aggr_down)(
+            msg, buf.down_dst, n, mask=buf.down_mask, indices_are_sorted=True)
+
+    boundary_out = zeros
+    if message_boundary is not None and boundary_attr is not None \
+            and buf.b_src.shape[0] > 0:
+        boundary_x_j = jnp.take(boundary_attr, buf.b_src, axis=0, mode='clip')
+        msg = message_boundary(boundary_x_j)
+        boundary_out = segment_reduce(aggr_boundary)(
+            msg, buf.b_dst, n, mask=buf.b_mask, indices_are_sorted=True)
+
+    return up_out, down_out, boundary_out
+
+
+def boundary_reduce(boundary_x: jnp.ndarray, buf: CochainBuffers,
+                    num_cells: int, reduce: str = "add") -> jnp.ndarray:
+    """Reduce boundary-cell features into each cell (InitReduceConv,
+    /root/reference/mp/layers.py:473-487)."""
+    feats = jnp.take(boundary_x, buf.b_src, axis=0, mode='clip')
+    return segment_reduce(reduce)(
+        feats, buf.b_dst, num_cells, mask=buf.b_mask, indices_are_sorted=True)

@@ -1,0 +1,208 @@
+"""NN building blocks: torch-compatible inits, masked batch norm, MLPs, pooling.
+
+The masked batch norm is the TPU-first detail that makes padded batching
+exact: statistics are computed over *valid* cells only, so a padded batch
+normalises identically to the reference's dense BatchNorm1d over the same
+cells (/root/reference/mp/layers.py:302-325 uses torch BN inside the update
+MLPs).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cwn_tpu.ops import segment_mean, segment_sum
+
+# ---------------------------------------------------------------------------
+# Initialisers matching torch defaults (matters for the untrained-model SR
+# expressivity harness and for faithful training dynamics).
+# ---------------------------------------------------------------------------
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """torch.nn.Linear weight default: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)).
+
+    flax kernels are [fan_in, fan_out]."""
+    fan_in = shape[0]
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def torch_linear_bias_init(key, shape, dtype=jnp.float32, fan_in: int = 1):
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+class Linear(nn.Module):
+    """Dense layer with torch-default initialisation."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param("kernel", torch_linear_kernel_init,
+                            (fan_in, self.features))
+        y = x @ kernel.astype(x.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda key, shape: torch_linear_bias_init(key, shape, fan_in=fan_in),
+                (self.features,))
+            y = y + bias.astype(x.dtype)
+        return y
+
+
+class Embedding(nn.Module):
+    """Embedding table with torch default init N(0, 1)."""
+
+    num_embeddings: int
+    features: int
+
+    @nn.compact
+    def __call__(self, ids):
+        table = self.param("embedding", nn.initializers.normal(stddev=1.0),
+                           (self.num_embeddings, self.features))
+        return jnp.take(table, ids, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Nonlinearities (parity with /root/reference/mp/nn.py:7-27).
+# ---------------------------------------------------------------------------
+
+_ACTS = {
+    "relu": jax.nn.relu,
+    "elu": jax.nn.elu,
+    "id": lambda x: x,
+    "sigmoid": jax.nn.sigmoid,
+    "tanh": jnp.tanh,
+}
+
+
+def get_nonlinearity(name: str) -> Callable:
+    try:
+        return _ACTS[name]
+    except KeyError:
+        raise NotImplementedError(f"Nonlinearity {name} is not supported") from None
+
+
+# ---------------------------------------------------------------------------
+# Norms.
+# ---------------------------------------------------------------------------
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over valid cells only (torch semantics).
+
+    Train: normalise by biased batch statistics of rows with mask==1; update
+    running stats with momentum 0.1 (running var uses unbiased variance).
+    Eval: normalise by running stats.  Matches torch.nn.BatchNorm1d applied
+    to the unpadded rows.
+    """
+
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None, train: bool = False):
+        f = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (f,))
+        bias = self.param("bias", nn.initializers.zeros, (f,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(f, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(f, jnp.float32))
+
+        if train:
+            if mask is None:
+                n = jnp.asarray(x.shape[0], x.dtype)
+                mean = jnp.mean(x, axis=0)
+                var = jnp.mean(jnp.square(x), axis=0) - jnp.square(mean)
+            else:
+                m = mask.astype(x.dtype)
+                n = jnp.maximum(jnp.sum(m), 1.0)
+                mean = jnp.sum(x * m[:, None], axis=0) / n
+                var = jnp.sum(jnp.square(x) * m[:, None], axis=0) / n \
+                    - jnp.square(mean)
+            var = jnp.maximum(var, 0.0)
+            if not self.is_initializing():
+                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean.astype(jnp.float32))
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * unbiased.astype(jnp.float32))
+        else:
+            mean = ra_mean.value.astype(x.dtype)
+            var = ra_var.value.astype(x.dtype)
+
+        inv = jax.lax.rsqrt(var + jnp.asarray(self.epsilon, x.dtype))
+        return (x - mean) * inv * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+class GraphNorm(nn.Module):
+    """Factory-style wrapper: 'bn' (masked), 'ln', or 'id'.
+
+    Parity with /root/reference/mp/nn.py:39-47 (get_graph_norm).
+    """
+
+    kind: str = "bn"
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        if self.kind == "bn":
+            return MaskedBatchNorm(name="bn")(x, mask=mask, train=train)
+        if self.kind == "ln":
+            return nn.LayerNorm(epsilon=1e-5, name="ln")(x)
+        if self.kind == "id":
+            return x
+        raise ValueError(f"Graph norm {self.kind} not supported")
+
+
+# ---------------------------------------------------------------------------
+# The two-layer update MLP used across CIN layers:
+#   Linear -> norm -> act -> Linear -> norm -> act
+# (/root/reference/mp/layers.py:301-321)
+# ---------------------------------------------------------------------------
+
+
+class UpdateMLP(nn.Module):
+    hidden: int
+    act: str = "relu"
+    norm: str = "bn"
+    num_layers: int = 2
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        act = get_nonlinearity(self.act)
+        for i in range(self.num_layers):
+            x = Linear(self.hidden, name=f"linear_{i}")(x)
+            x = GraphNorm(self.norm, name=f"norm_{i}")(x, mask=mask, train=train)
+            x = act(x)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Pooling: per-dim masked segment pooling into [batch_size, F].
+# ---------------------------------------------------------------------------
+
+
+def pool_cells(x: jnp.ndarray, batch: jnp.ndarray, cell_mask: jnp.ndarray,
+               batch_size: int, readout: str = "sum") -> jnp.ndarray:
+    """Pool cell features per complex; padded cells land in a trash segment.
+
+    Parity with global_add_pool/global_mean_pool with explicit size
+    (/root/reference/mp/nn.py:50-60)."""
+    if readout == "sum":
+        out = segment_sum(x, batch, batch_size + 1, mask=cell_mask,
+                          indices_are_sorted=True)
+    elif readout == "mean":
+        out = segment_mean(x, batch, batch_size + 1, mask=cell_mask,
+                           indices_are_sorted=True)
+    else:
+        raise NotImplementedError(f"Readout {readout} is not supported")
+    return out[:batch_size]
