@@ -271,39 +271,16 @@ class SparseCIN(nn.Module):
         elif self.jump_mode == "max":
             xs = [jnp.max(jnp.stack(js, 0), axis=0) for js in jump_xs]
 
-        pooled = [
-            pool_cells(xs[k], data.dims[k].batch, data.dims[k].cell_mask,
-                       data.batch_size, self.readout)
-            for k in range(self.max_dim + 1)
-        ]
-        sel = [pooled[i] for i in readout_dims]
-        if include_partial:
-            for k in range(len(sel)):
-                res[f"pool_{k}"] = sel[k]
-
-        dropout = nn.Dropout(rate=self.dropout_rate)
-        new_xs = []
-        for i, x in enumerate(sel):
-            if self.apply_dropout_before == "lin1":
-                x = dropout(x, deterministic=not train)
-            lin1 = Linear(self.final_hidden_multiplier * self.hidden,
-                          use_bias=(self.jump_mode != "cat"),
-                          name=f"lin1_{readout_dims[i]}")
-            new_xs.append(act(lin1(x)))
-
-        x = jnp.stack(new_xs, axis=0)
-        if self.apply_dropout_before == "final_readout":
-            x = dropout(x, deterministic=not train)
-        if self.final_readout == "mean":
-            x = jnp.mean(x, axis=0)
-        elif self.final_readout == "sum":
-            x = jnp.sum(x, axis=0)
-        else:
-            raise NotImplementedError
-        if self.apply_dropout_before not in ("lin1", "final_readout"):
-            x = dropout(x, deterministic=not train)
-
-        x = Linear(self.num_classes, name="lin2")(x)
+        from cwn_tpu.models.heads import CINReadoutHead
+        x = CINReadoutHead(
+            num_classes=self.num_classes, hidden=self.hidden,
+            readout_dims=readout_dims, readout=self.readout,
+            final_readout=self.final_readout,
+            final_hidden_multiplier=self.final_hidden_multiplier,
+            nonlinearity=self.nonlinearity, dropout_rate=self.dropout_rate,
+            apply_dropout_before=self.apply_dropout_before,
+            lin1_bias=(self.jump_mode != "cat"), name="head")(
+                xs, data, train=train, include_partial=include_partial, res=res)
 
         if include_partial:
             res["out"] = x

@@ -1,0 +1,81 @@
+"""Batch loader: shuffling, packing, geometric shape-bucketing.
+
+The TPU analogue of the reference's DataLoader/Collater
+(/root/reference/data/data_loading.py:44-110): batches are packed host-side
+into padded ComplexBatches whose pad sizes are rounded up to powers of two
+(per buffer), so XLA compiles only a handful of distinct shapes regardless
+of shuffling.
+"""
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from cwn_tpu.batch import ComplexBatch, PadPlan, pack_complexes
+from cwn_tpu.complex import Complex
+
+
+def _pow2_round(n: int, minimum: int) -> int:
+    if n <= minimum:
+        return minimum
+    return 1 << int(np.ceil(np.log2(n)))
+
+
+def bucketize_plan(plan: PadPlan, pad_multiple: int = 128) -> PadPlan:
+    """Round every pad size up to a power of two (>= pad_multiple)."""
+    return PadPlan(
+        batch_size=plan.batch_size,
+        num_cells=tuple(_pow2_round(n, pad_multiple) for n in plan.num_cells),
+        num_up=tuple(_pow2_round(n, pad_multiple) for n in plan.num_up),
+        num_down=tuple(_pow2_round(n, pad_multiple) for n in plan.num_down),
+        num_boundary=tuple(_pow2_round(n, pad_multiple) for n in plan.num_boundary),
+    )
+
+
+class ComplexLoader:
+    """Iterates ComplexBatches over a list of complexes."""
+
+    def __init__(self, complexes: Sequence[Complex], batch_size: int,
+                 max_dim: int = 2, shuffle: bool = False, seed: int = 0,
+                 pad_multiple: int = 128, plan: Optional[PadPlan] = None,
+                 keep_top_upper: bool = False, x_dtype=np.float32,
+                 drop_last: bool = False):
+        self.complexes = list(complexes)
+        self.batch_size = batch_size
+        self.max_dim = max_dim
+        self.shuffle = shuffle
+        self.pad_multiple = pad_multiple
+        self.fixed_plan = plan
+        self.keep_top_upper = keep_top_upper
+        self.x_dtype = x_dtype
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.complexes)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[ComplexBatch]:
+        idx = np.arange(len(self.complexes))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        self._epoch += 1
+        for s in range(0, len(idx), self.batch_size):
+            chunk = idx[s:s + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                break
+            batch_complexes = [self.complexes[i] for i in chunk]
+            plan = self.fixed_plan
+            if plan is None:
+                plan = PadPlan.for_complexes(
+                    batch_complexes, self.max_dim,
+                    batch_size=self.batch_size,
+                    pad_multiple=self.pad_multiple)
+                plan = bucketize_plan(plan, self.pad_multiple)
+            yield pack_complexes(batch_complexes, self.max_dim, plan=plan,
+                                 x_dtype=self.x_dtype,
+                                 keep_top_upper=self.keep_top_upper)

@@ -1,0 +1,273 @@
+"""The trainer: jitted steps, loss functions, LR schedulers, early stop.
+
+Parity targets:
+  /root/reference/exp/train_utils.py:16-144 (train/eval loops, loss per
+  task type, NaN-target masking, BN small-batch skip)
+  /root/reference/exp/run_exp.py:343-427 (Adam, StepLR /
+  ReduceLROnPlateau, early stop at min LR, best-epoch selection)
+
+The schedulers run in Python outside jit (control flow on eval metrics);
+the LR reaches the compiled step through optax.inject_hyperparams.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cwn_tpu.batch import ComplexBatch
+from cwn_tpu.train.evaluator import Evaluator
+
+
+# ---------------------------------------------------------------------------
+# Loss functions (sum + weight so the mean is computed over valid entries).
+# ---------------------------------------------------------------------------
+
+
+def _classification_loss(logits, y, y_mask):
+    y = y.astype(jnp.int32).reshape(-1)
+    ls = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+    return (ls * y_mask).sum(), y_mask.sum()
+
+
+def _bin_classification_loss(logits, y, y_mask):
+    y = y.astype(logits.dtype)
+    if y.ndim == 1:
+        y = y[:, None]
+    valid = jnp.isfinite(y) * y_mask[:, None]
+    y_safe = jnp.where(jnp.isfinite(y), y, 0.0)
+    ls = optax.sigmoid_binary_cross_entropy(logits, y_safe)
+    return (ls * valid).sum(), valid.sum()
+
+
+def _regression_loss(pred, y, y_mask):
+    y = y.astype(pred.dtype).reshape(pred.shape)
+    valid = jnp.isfinite(y) * (y_mask[:, None] if y.ndim > 1 else y_mask)
+    y_safe = jnp.where(jnp.isfinite(y), y, 0.0)
+    ls = jnp.abs(pred - y_safe)
+    return (ls * valid).sum(), valid.sum()
+
+
+def _mse_regression_loss(pred, y, y_mask):
+    y = y.astype(pred.dtype).reshape(pred.shape)
+    valid = jnp.isfinite(y) * (y_mask[:, None] if y.ndim > 1 else y_mask)
+    y_safe = jnp.where(jnp.isfinite(y), y, 0.0)
+    ls = jnp.square(pred - y_safe)
+    return (ls * valid).sum(), valid.sum()
+
+
+LOSSES = {
+    "classification": _classification_loss,
+    "bin_classification": _bin_classification_loss,
+    "regression": _regression_loss,
+    "mse_regression": _mse_regression_loss,
+}
+
+
+# ---------------------------------------------------------------------------
+# LR schedulers (host-side state machines, reference semantics).
+# ---------------------------------------------------------------------------
+
+
+class StepLR:
+    def __init__(self, lr: float, decay_steps: int, decay_rate: float):
+        self.base_lr = lr
+        self.decay_steps = decay_steps
+        self.decay_rate = decay_rate
+        self.epoch = 0
+
+    @property
+    def lr(self) -> float:
+        return self.base_lr * (self.decay_rate ** (self.epoch // self.decay_steps))
+
+    def step(self, metric: Optional[float] = None):
+        self.epoch += 1
+
+
+class ReduceLROnPlateau:
+    """Torch-semantics plateau scheduler (mode from `minimize`)."""
+
+    def __init__(self, lr: float, mode: str = "min", factor: float = 0.5,
+                 patience: int = 10, min_lr: float = 1e-5):
+        self._lr = lr
+        self.mode = mode
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = min_lr
+        self.best: Optional[float] = None
+        self.num_bad = 0
+
+    @property
+    def lr(self) -> float:
+        return self._lr
+
+    def _is_better(self, m: float) -> bool:
+        if self.best is None:
+            return True
+        return m < self.best if self.mode == "min" else m > self.best
+
+    def step(self, metric: Optional[float] = None):
+        if metric is None:
+            return
+        if self._is_better(metric):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self._lr = max(self._lr * self.factor, self.min_lr)
+                self.num_bad = 0
+
+
+class NoScheduler:
+    def __init__(self, lr: float):
+        self.lr = lr
+
+    def step(self, metric: Optional[float] = None):
+        pass
+
+
+def make_scheduler(name: Optional[str], lr: float, *, decay_steps=50,
+                   decay_rate=0.5, patience=10, min_lr=1e-5, minimize=False):
+    if name == "StepLR":
+        return StepLR(lr, decay_steps, decay_rate)
+    if name == "ReduceLROnPlateau":
+        return ReduceLROnPlateau(lr, "min" if minimize else "max",
+                                 decay_rate, patience, min_lr)
+    if name in (None, "None"):
+        return NoScheduler(lr)
+    raise NotImplementedError(f"Scheduler {name} is not currently supported")
+
+
+# ---------------------------------------------------------------------------
+# Trainer.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    task_type: str = "classification"
+    eval_metric: str = "accuracy"
+    lr: float = 0.001
+    lr_scheduler: Optional[str] = "StepLR"
+    lr_scheduler_decay_steps: int = 50
+    lr_scheduler_decay_rate: float = 0.5
+    lr_scheduler_patience: int = 10
+    lr_scheduler_min: float = 1e-5
+    minimize: bool = False
+    early_stop: bool = False
+    seed: int = 43
+    iso_eps: float = 0.01
+
+
+class Trainer:
+    """Owns model variables + optimizer + schedulers; runs epochs."""
+
+    def __init__(self, model, config: TrainConfig, example_batch: ComplexBatch):
+        self.model = model
+        self.config = config
+        self.rng = jax.random.PRNGKey(config.seed)
+        self.rng, init_rng = jax.random.split(self.rng)
+        variables = model.init({"params": init_rng}, example_batch, train=False)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=config.lr)
+        self.opt_state = self.tx.init(self.params)
+        self.scheduler = make_scheduler(
+            config.lr_scheduler, config.lr,
+            decay_steps=config.lr_scheduler_decay_steps,
+            decay_rate=config.lr_scheduler_decay_rate,
+            patience=config.lr_scheduler_patience,
+            min_lr=config.lr_scheduler_min, minimize=config.minimize)
+        self.evaluator = Evaluator(config.eval_metric, eps=config.iso_eps)
+        self.loss_fn = LOSSES[config.task_type] \
+            if config.task_type != "isomorphism" else None
+        self._build_steps()
+
+    # -- jitted functions -------------------------------------------------
+    def _build_steps(self):
+        model, loss_fn = self.model, self.loss_fn
+
+        @jax.jit
+        def train_step(params, batch_stats, opt_state, batch, rng, lr):
+            def loss_of(p):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, batch,
+                    train=True, rngs={"dropout": rng},
+                    mutable=["batch_stats"])
+                s, w = loss_fn(out, batch.y, batch.y_mask)
+                return s / jnp.maximum(w, 1.0), mut["batch_stats"]
+
+            (loss, new_bs), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(params)
+            opt_state.hyperparams["learning_rate"] = lr
+            updates, new_opt = self.tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_bs, new_opt, loss
+
+        @jax.jit
+        def eval_step(params, batch_stats, batch):
+            return model.apply({"params": params, "batch_stats": batch_stats},
+                               batch, train=False)
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    # -- epochs -----------------------------------------------------------
+    @staticmethod
+    def _batch_trainable(batch: ComplexBatch) -> bool:
+        """Skip batches whose smallest populated dim has <=1 cells (BN
+        safety, /root/reference/exp/train_utils.py:38-49)."""
+        counts = [int(d.cell_mask.sum()) for d in batch.dims]
+        present = [c for c in counts if c > 0]
+        return bool(present) and min(present) > 1
+
+    def train_epoch(self, loader) -> List[float]:
+        curve = []
+        for batch in loader:
+            if not self._batch_trainable(batch):
+                continue
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.params, self.batch_stats, self.opt_state, loss = \
+                self._train_step(self.params, self.batch_stats, self.opt_state,
+                                 batch, step_rng,
+                                 jnp.asarray(self.scheduler.lr, jnp.float32))
+            curve.append(float(loss))
+        return curve
+
+    def predict(self, loader) -> np.ndarray:
+        preds = []
+        ys = []
+        for batch in loader:
+            out = self._eval_step(self.params, self.batch_stats, batch)
+            n = int(batch.y_mask.sum())
+            preds.append(np.asarray(out)[:n])
+            if batch.y is not None:
+                ys.append(np.asarray(batch.y)[:n])
+        y_pred = np.concatenate(preds, axis=0)
+        y_true = np.concatenate(ys, axis=0) if ys else None
+        return y_pred, y_true
+
+    def evaluate(self, loader) -> Dict[str, float]:
+        y_pred, y_true = self.predict(loader)
+        metric = self.evaluator.eval({"y_pred": y_pred, "y_true": y_true})
+        loss = np.nan
+        if self.loss_fn is not None and y_true is not None:
+            s, w = self.loss_fn(jnp.asarray(y_pred), jnp.asarray(y_true),
+                                jnp.ones(len(y_pred), jnp.float32))
+            loss = float(s) / max(float(w), 1.0)
+        return {"metric": metric, "loss": loss}
+
+    @property
+    def lr(self) -> float:
+        return self.scheduler.lr
+
+    def should_early_stop(self) -> bool:
+        return (self.config.early_stop
+                and isinstance(self.scheduler, ReduceLROnPlateau)
+                and self.scheduler.lr <= self.scheduler.min_lr)
