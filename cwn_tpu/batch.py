@@ -60,6 +60,7 @@ class CochainBuffers:
     up_orient: Optional[np.ndarray]    # [E_up] float
     down_orient: Optional[np.ndarray]  # [E_dn] float
     y: Optional[np.ndarray]            # [N] per-cell labels
+    sel_mask: Optional[np.ndarray]     # [N] float, 1 = readout-selected cell
 
     @property
     def num_cells_padded(self) -> int:
@@ -191,6 +192,8 @@ def pack_complexes(complexes: Sequence[Complex], max_dim: int,
     any_up_orient = [False] * (max_dim + 1)
     any_down_orient = [False] * (max_dim + 1)
     any_cell_y = [False] * (max_dim + 1)
+    any_sel = [False] * (max_dim + 1)
+    sels: List[List[np.ndarray]] = [[] for _ in range(max_dim + 1)]
     for c in complexes:
         for k in range(max_dim + 1):
             co = c.cochains.get(k)
@@ -205,6 +208,8 @@ def pack_complexes(complexes: Sequence[Complex], max_dim: int,
                 any_down_orient[k] = True
             if co.y is not None:
                 any_cell_y[k] = True
+            if co.mask is not None:
+                any_sel[k] = True
 
     complex_ys = []
     for ci, c in enumerate(complexes):
@@ -227,6 +232,10 @@ def pack_complexes(complexes: Sequence[Complex], max_dim: int,
                 xs[k].append(np.zeros((n, feat_dims[k]), dtype=x_dtype))
             if any_cell_y[k] and co.y is not None:
                 ys[k].append(np.asarray(co.y).reshape(-1))
+            if any_sel[k]:
+                sels[k].append(
+                    co.mask.astype(np.float32) if co.mask is not None
+                    else np.zeros(n, np.float32))
             batch_vec[k].append(np.full(n, ci, dtype=np.int32))
 
             # Upper adjacency at the top dim is dropped by default: its shared
@@ -308,13 +317,20 @@ def pack_complexes(complexes: Sequence[Complex], max_dim: int,
             ycells = np.zeros(n_pad, dtype=y_cat.dtype)
             ycells[:len(y_cat)] = y_cat
 
+        sel = None
+        if any_sel[k] and sels[k]:
+            s_cat = np.concatenate(sels[k])
+            sel = np.zeros(n_pad, np.float32)
+            sel[:len(s_cat)] = s_cat
+
         dims.append(CochainBuffers(
             x=x, cell_mask=cell_mask, batch=bvec,
             up_src=up_src, up_dst=up_dst, up_cob=up_cob, up_mask=up_mask,
             down_src=down_src, down_dst=down_dst, down_shared=down_shared,
             down_mask=down_mask,
             b_src=b_src, b_dst=b_dst, b_mask=b_mask,
-            up_orient=up_orient, down_orient=down_orient, y=ycells))
+            up_orient=up_orient, down_orient=down_orient, y=ycells,
+            sel_mask=sel))
 
     # Complex-level labels.
     y = None

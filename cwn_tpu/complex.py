@@ -55,6 +55,7 @@ class Cochain:
     upper_orient: Optional[np.ndarray] = None      # [E_up] float (+-1)
     lower_orient: Optional[np.ndarray] = None      # [E_dn] float (+-1)
     y: Optional[np.ndarray] = None                 # per-cell labels
+    mask: Optional[np.ndarray] = None              # per-cell bool (readout sel)
     num_cells: Optional[int] = None
     num_cells_up: Optional[int] = None             # number of (k+1)-cells
     num_cells_down: Optional[int] = None           # number of (k-1)-cells
@@ -69,6 +70,8 @@ class Cochain:
             self.upper_orient = _as_vec(self.upper_orient, np.float64)
         if self.lower_orient is not None:
             self.lower_orient = _as_vec(self.lower_orient, np.float64)
+        if self.mask is not None:
+            self.mask = np.asarray(self.mask, dtype=bool).reshape(-1)
         if self.x is not None:
             self.x = np.asarray(self.x)
             if self.x.ndim == 1:

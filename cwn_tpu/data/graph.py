@@ -17,6 +17,7 @@ class Graph:
     edge_index: np.ndarray               # [2, num_directed_edges]
     y: Optional[np.ndarray] = None       # [1] graph label or [num_nodes] node labels
     edge_attr: Optional[np.ndarray] = None  # [num_directed_edges, Fe]
+    mask: Optional[np.ndarray] = None       # [num_nodes] bool readout mask
     num_nodes: Optional[int] = None
 
     def __post_init__(self):
@@ -26,6 +27,8 @@ class Graph:
             self.y = np.asarray(self.y)
         if self.edge_attr is not None:
             self.edge_attr = np.asarray(self.edge_attr)
+        if self.mask is not None:
+            self.mask = np.asarray(self.mask, dtype=bool)
         if self.num_nodes is None:
             self.num_nodes = int(self.x.shape[0])
 

@@ -1,0 +1,287 @@
+"""Single-run experiment pipeline.
+
+Parity: /root/reference/exp/run_exp.py:19-477 — seeding, fp64 switch for
+isomorphism, dataset + loaders, model dispatch, Adam + scheduler, epoch
+loop with train/val/test curves, ReduceLROnPlateau early stop, best-epoch
+selection by validation, results dump.
+
+TPU notes: the isomorphism (SR) path runs in float64 on the CPU backend
+(TPUs have no native fp64); everything else runs on the default backend.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from cwn_tpu.data.datasets import load_dataset
+from cwn_tpu.train import ComplexLoader, Trainer, TrainConfig
+from cwn_tpu.train.evaluator import Evaluator
+
+
+def _str2bool(s):
+    if isinstance(s, bool):
+        return s
+    return str(s).lower() in ("true", "1", "yes")
+
+
+def build_model(args, dataset):
+    """Model dispatch (parity: /root/reference/exp/run_exp.py:112-328)."""
+    name = args.model
+    use_cob = _str2bool(args.use_coboundaries)
+    train_eps = _str2bool(getattr(args, "train_eps", False))
+    num_feat = dataset.num_features[0] if dataset.num_features else 1
+    readout_dims = tuple(args.readout_dims)
+    out_size = dataset.num_classes
+
+    common = dict(num_layers=args.num_layers, hidden=args.emb_dim,
+                  dropout_rate=args.drop_rate, nonlinearity=args.nonlinearity,
+                  readout=args.readout)
+
+    if name == "cin0":
+        from cwn_tpu.models.baselines import CIN0
+        return CIN0(num_input_features=num_feat, num_classes=out_size,
+                    max_dim=args.max_dim, jump_mode=args.jump_mode, **common)
+    if name == "edge_cin0":
+        from cwn_tpu.models.baselines import EdgeCIN0
+        return EdgeCIN0(num_input_features=num_feat, num_classes=out_size,
+                        jump_mode=args.jump_mode, **common)
+    if name == "sparse_cin" or name == "cin":
+        from cwn_tpu.models import SparseCIN
+        return SparseCIN(num_input_features=num_feat, num_classes=out_size,
+                         max_dim=args.max_dim, jump_mode=args.jump_mode,
+                         train_eps=train_eps, use_coboundaries=use_cob,
+                         readout_dims=readout_dims,
+                         final_readout=args.final_readout,
+                         apply_dropout_before=args.drop_position,
+                         graph_norm=args.graph_norm, **common)
+    if name in ("cin++", "cin_pp", "cinpp"):
+        from cwn_tpu.models import CINpp
+        return CINpp(num_input_features=num_feat, num_classes=out_size,
+                     max_dim=args.max_dim, jump_mode=args.jump_mode,
+                     train_eps=train_eps, use_coboundaries=use_cob,
+                     readout_dims=readout_dims,
+                     final_readout=args.final_readout,
+                     apply_dropout_before=args.drop_position,
+                     graph_norm=args.graph_norm, **common)
+    if name == "dummy":
+        from cwn_tpu.models.baselines import Dummy
+        return Dummy(num_input_features=num_feat, num_classes=out_size,
+                     num_layers=args.num_layers, max_dim=args.max_dim,
+                     readout=args.readout)
+    if name == "mp_agnostic":
+        from cwn_tpu.models.baselines import MessagePassingAgnostic
+        return MessagePassingAgnostic(
+            num_input_features=num_feat, num_classes=out_size,
+            hidden=args.emb_dim, dropout_rate=args.drop_rate,
+            max_dim=args.max_dim, nonlinearity=args.nonlinearity,
+            readout=args.readout)
+    if name in ("embed_sparse_cin", "embed_cin++", "embed_cin_pp",
+                "embed_sparse_cin_no_rings"):
+        from cwn_tpu.models.molec import (
+            EmbedCINpp, EmbedSparseCIN, EmbedSparseCINNoRings)
+        cls = {"embed_sparse_cin": EmbedSparseCIN,
+               "embed_cin++": EmbedCINpp, "embed_cin_pp": EmbedCINpp,
+               "embed_sparse_cin_no_rings": EmbedSparseCINNoRings}[name]
+        kw = dict(atom_types=dataset.num_node_type or 100,
+                  bond_types=dataset.num_edge_type or 10,
+                  out_size=out_size, num_layers=args.num_layers,
+                  hidden=args.emb_dim, dropout_rate=args.drop_rate,
+                  nonlinearity=args.nonlinearity, readout=args.readout,
+                  train_eps=train_eps,
+                  final_readout=args.final_readout,
+                  apply_dropout_before=args.drop_position,
+                  embed_edge=args.use_edge_features,
+                  use_coboundaries=use_cob, graph_norm=args.graph_norm)
+        if cls is not EmbedSparseCINNoRings:
+            kw.update(max_dim=args.max_dim, jump_mode=args.jump_mode,
+                      readout_dims=readout_dims)
+        return cls(**kw)
+    if name in ("ogb_embed_sparse_cin", "ogb_embed_cin++", "ogb_embed_cin_pp"):
+        from cwn_tpu.models.molec import OGBEmbedCINpp, OGBEmbedSparseCIN
+        cls = OGBEmbedSparseCIN if name == "ogb_embed_sparse_cin" \
+            else OGBEmbedCINpp
+        return cls(atom_types=0, bond_types=0, out_size=out_size,
+                   num_layers=args.num_layers, hidden=args.emb_dim,
+                   dropout_rate=args.drop_rate,
+                   in_dropout_rate=args.indrop_rate,
+                   max_dim=args.max_dim, jump_mode=args.jump_mode,
+                   nonlinearity=args.nonlinearity, readout=args.readout,
+                   train_eps=train_eps, readout_dims=readout_dims,
+                   final_readout=args.final_readout,
+                   apply_dropout_before=args.drop_position,
+                   embed_edge=args.use_edge_features,
+                   use_coboundaries=use_cob, graph_norm=args.graph_norm)
+    if name == "embed_gin":
+        from cwn_tpu.models.molec import EmbedGIN
+        return EmbedGIN(atom_types=dataset.num_node_type or 100,
+                        bond_types=dataset.num_edge_type or 10,
+                        out_size=out_size, num_layers=args.num_layers,
+                        hidden=args.emb_dim, dropout_rate=args.drop_rate,
+                        nonlinearity=args.nonlinearity, readout=args.readout,
+                        train_eps=train_eps,
+                        apply_dropout_before=args.drop_position,
+                        embed_edge=args.use_edge_features)
+    if name in ("edge_orient", "edge_mpnn"):
+        from cwn_tpu.models.orient import EdgeMPNN, EdgeOrient
+        cls = EdgeOrient if name == "edge_orient" else EdgeMPNN
+        return cls(num_input_features=dataset.num_features[1],
+                   num_classes=out_size, num_layers=args.num_layers,
+                   hidden=args.emb_dim, dropout_rate=args.drop_rate,
+                   nonlinearity=args.nonlinearity, readout=args.readout,
+                   fully_invar=args.fully_orient_invar)
+    if name == "ring_sparse_cin":
+        from cwn_tpu.models.ring_exp import RingSparseCIN
+        return RingSparseCIN(num_input_features=num_feat,
+                             num_classes=out_size,
+                             num_layers=args.num_layers, hidden=args.emb_dim,
+                             max_dim=args.max_dim,
+                             nonlinearity=args.nonlinearity,
+                             train_eps=train_eps, use_coboundaries=use_cob,
+                             graph_norm=args.graph_norm)
+    if name == "ring_gin":
+        from cwn_tpu.models.ring_exp import RingGIN
+        return RingGIN(num_features=num_feat, num_layers=args.num_layers,
+                       hidden=args.emb_dim, num_classes=out_size,
+                       nonlinearity=args.nonlinearity,
+                       graph_norm=args.graph_norm)
+    if name in ("gin", "gin0", "gin_jk", "gin0_jk"):
+        from cwn_tpu.models.graph import GIN
+        return GIN(num_features=num_feat, num_layers=args.num_layers,
+                   hidden=args.emb_dim, num_classes=out_size,
+                   readout=args.readout, dropout_rate=args.drop_rate,
+                   nonlinearity=args.nonlinearity,
+                   train_eps=(name in ("gin", "gin_jk")),
+                   jump_mode="cat" if name.endswith("_jk") else None)
+    raise ValueError(f"Unknown model {args.model}")
+
+
+def main(args) -> Dict:
+    """Run one experiment; returns the curves/results dict."""
+    import jax
+
+    np.random.seed(args.seed)
+
+    if args.task_type == "isomorphism":
+        # fp64 on CPU: TPUs have no native double precision and the SR
+        # expressivity protocol requires it (reference run_exp.py:41-43).
+        jax.config.update("jax_enable_x64", True)
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        x_dtype = np.float64
+    else:
+        x_dtype = np.float32
+
+    dataset = load_dataset(
+        args.dataset, fold=args.fold, seed=0, max_dim=args.max_dim,
+        max_ring_size=args.max_ring_size,
+        include_down_adj=args.include_down_adj,
+        init_method=args.init_method,
+        use_edge_features=args.use_edge_features,
+        simple_features=getattr(args, "simple_features", False),
+        n_jobs=args.preproc_jobs)
+
+    keep_top = args.model in ("edge_orient", "edge_mpnn")
+    mk_loader = lambda split, shuffle: ComplexLoader(
+        dataset.split(split), batch_size=args.batch_size,
+        max_dim=dataset.max_dim, shuffle=shuffle, seed=args.seed,
+        pad_multiple=args.pad_multiple, keep_top_upper=keep_top,
+        x_dtype=x_dtype)
+    train_loader = mk_loader("train", True)
+    val_loader = mk_loader("val", False)
+    test_loader = mk_loader("test", False)
+
+    model = build_model(args, dataset)
+
+    cfg = TrainConfig(
+        task_type=dataset.task_type if args.task_type != "isomorphism"
+        else "classification",
+        eval_metric=dataset.eval_metric, lr=args.lr,
+        lr_scheduler=args.lr_scheduler,
+        lr_scheduler_decay_steps=args.lr_scheduler_decay_steps,
+        lr_scheduler_decay_rate=args.lr_scheduler_decay_rate,
+        lr_scheduler_patience=int(args.lr_scheduler_patience),
+        lr_scheduler_min=args.lr_scheduler_min,
+        minimize=dataset.minimize or args.minimize,
+        early_stop=args.early_stop, seed=args.seed, iso_eps=args.iso_eps)
+
+    example = next(iter(train_loader))
+    trainer = Trainer(model, cfg, example)
+
+    if args.task_type == "isomorphism":
+        # Cast everything to fp64 and evaluate untrained embeddings.
+        import jax.numpy as jnp
+        trainer.params = jax.tree.map(
+            lambda a: a.astype(jnp.float64)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a, trainer.params)
+        trainer.batch_stats = jax.tree.map(
+            lambda a: a.astype(jnp.float64)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a, trainer.batch_stats)
+        trainer._build_steps()
+        loader = mk_loader("test", False)
+        y_pred, _ = trainer.predict(loader)
+        assert y_pred.dtype == np.float64
+        ev = Evaluator("isomorphism", eps=args.iso_eps)
+        failure = ev.eval({"y_pred": y_pred, "y_true": None})
+        result = {"failure_rate": failure, "y_pred_mag": float(np.abs(y_pred).max())}
+        print(f"[{args.dataset}] isomorphism failure rate: {failure:.4f}")
+        return result
+
+    curves = {"train": [], "val": [], "test": [], "train_loss": [],
+              "params": trainer.count_params()}
+    best_val = -np.inf if not cfg.minimize else np.inf
+    for epoch in range(args.epochs if not args.untrained else 0):
+        t0 = time.time()
+        losses = trainer.train_epoch(train_loader)
+        val = trainer.evaluate(val_loader)
+        test = trainer.evaluate(test_loader)
+        if (epoch + 1) % args.train_eval_period == 0:
+            tr_metric = trainer.evaluate(mk_loader("train", False))["metric"]
+        else:
+            tr_metric = np.nan
+        curves["train"].append(tr_metric)
+        curves["val"].append(val["metric"])
+        curves["test"].append(test["metric"])
+        curves["train_loss"].append(float(np.mean(losses)) if losses else np.nan)
+        trainer.scheduler.step(val["metric"])
+        print(f"epoch {epoch:3d}: loss={curves['train_loss'][-1]:.4f} "
+              f"val={val['metric']:.4f} test={test['metric']:.4f} "
+              f"lr={trainer.lr:.2e} ({time.time() - t0:.1f}s)")
+        if trainer.should_early_stop():
+            print("Early stop: minimum LR reached")
+            break
+
+    if curves["val"]:
+        vals = np.array(curves["val"])
+        best_epoch = int(np.argmin(vals) if cfg.minimize else np.argmax(vals))
+        curves["best_epoch"] = best_epoch
+        curves["best_val"] = float(vals[best_epoch])
+        curves["test_at_best"] = float(curves["test"][best_epoch])
+        curves["last_train"] = curves["train"][-1]
+        curves["last_val"] = float(vals[-1])
+        print(f"best epoch {best_epoch}: val={curves['best_val']:.4f} "
+              f"test={curves['test_at_best']:.4f}")
+
+    if args.dump_curves:
+        os.makedirs(args.result_folder, exist_ok=True)
+        out = os.path.join(args.result_folder,
+                           f"{args.dataset}-{args.exp_name}")
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, "curves.pkl"), "wb") as f:
+            pickle.dump(curves, f)
+        with open(os.path.join(out, "results.txt"), "w") as f:
+            for k in ("best_epoch", "best_val", "test_at_best", "params"):
+                if k in curves:
+                    f.write(f"{k}: {curves[k]}\n")
+    return curves
+
+
+if __name__ == "__main__":
+    from cwn_tpu.exp.parser import get_parser, validate_args
+    args = get_parser().parse_args()
+    validate_args(args)
+    main(args)

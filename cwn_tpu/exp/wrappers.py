@@ -1,0 +1,121 @@
+"""Multi-run wrappers: seeds, folds, SR families, ring sizes.
+
+Parity: /root/reference/exp/run_mol_exp.py, run_sr_exp.py, run_tu_exp.py,
+run_ring_exp.py.
+"""
+from __future__ import annotations
+
+import copy
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from cwn_tpu.exp.parser import get_parser
+from cwn_tpu.exp.run_exp import main
+
+RING_SIZES = list(range(10, 32, 2))
+
+SR_FAMILIES = ["sr16622", "sr251256", "sr261034", "sr281264", "sr291467",
+               "sr351668", "sr351899", "sr361446", "sr401224"]
+SR_CLIQUE_DIMS = {"sr16622": 3, "sr251256": 4, "sr261034": 5, "sr281264": 5,
+                  "sr291467": 6, "sr351668": 5, "sr351899": 6, "sr361446": 5,
+                  "sr401224": 5}
+
+
+def run_mol_exp(passed_args: List[str]) -> Dict:
+    """Multi-seed (and multi-fold for CSL) aggregation at best-val epoch
+    (parity: run_mol_exp.py:12-99)."""
+    parser = get_parser()
+    args = parser.parse_args(copy.copy(passed_args))
+    results = []
+    folds = list(range(args.folds)) if args.folds else [None]
+    for seed in range(args.start_seed, args.stop_seed + 1):
+        for fold in folds:
+            extra = ["--seed", str(seed)]
+            if fold is not None:
+                extra += ["--fold", str(fold)]
+            curves = main(parser.parse_args(copy.copy(passed_args) + extra))
+            results.append(curves)
+    test_at_best = [r["test_at_best"] for r in results]
+    last_vals = [r["last_val"] for r in results]
+    summary = {
+        "test_at_best_mean": float(np.mean(test_at_best)),
+        "test_at_best_std": float(np.std(test_at_best)),
+        "last_val_mean": float(np.mean(last_vals)),
+        "runs": len(results),
+    }
+    print(f"=== {args.dataset} {args.model}: "
+          f"test@best {summary['test_at_best_mean']:.4f} "
+          f"+/- {summary['test_at_best_std']:.4f} over {len(results)} runs")
+    return summary
+
+
+def run_sr_exp(passed_args: List[str],
+               families: Optional[List[str]] = None) -> Dict:
+    """Per-family isomorphism failure-rate stats over seeds
+    (parity: run_sr_exp.py:40-103)."""
+    parser = get_parser()
+    args = parser.parse_args(copy.copy(passed_args))
+    families = families or SR_FAMILIES
+    table = {}
+    for family in families:
+        rates = []
+        for seed in range(args.start_seed, args.stop_seed + 1):
+            extra = ["--dataset", family, "--seed", str(seed)]
+            if args.max_ring_size is None:
+                extra += ["--max_dim", str(SR_CLIQUE_DIMS[family])]
+            res = main(parser.parse_args(copy.copy(passed_args) + extra))
+            rates.append(res["failure_rate"])
+        table[family] = {"mean": float(np.mean(rates)),
+                         "min": float(np.min(rates)),
+                         "max": float(np.max(rates))}
+        print(f"{family}: failure {table[family]['mean']:.4f} "
+              f"[{table[family]['min']:.4f}, {table[family]['max']:.4f}]")
+    return table
+
+
+def run_tu_exp(passed_args: List[str]) -> Dict:
+    """10-fold cross-validation with best shared epoch on the mean val curve
+    (parity: run_tu_exp.py:21-62)."""
+    parser = get_parser()
+    args = parser.parse_args(copy.copy(passed_args))
+    fold_curves = []
+    for fold in range(10):
+        curves = main(parser.parse_args(
+            copy.copy(passed_args) + ["--fold", str(fold)]))
+        fold_curves.append(curves["val"])
+    min_len = min(len(c) for c in fold_curves)
+    val_matrix = np.array([c[:min_len] for c in fold_curves])
+    mean_curve = val_matrix.mean(axis=0)
+    best_epoch = int(np.argmax(mean_curve))
+    summary = {
+        "best_epoch": best_epoch,
+        "acc_mean": float(mean_curve[best_epoch]),
+        "acc_std": float(val_matrix[:, best_epoch].std()),
+    }
+    print(f"=== {args.dataset}: {summary['acc_mean']:.4f} "
+          f"+/- {summary['acc_std']:.4f} at epoch {best_epoch}")
+    return summary
+
+
+def run_ring_exp(passed_args: List[str]) -> Dict:
+    """Ring sizes 10..30 as pseudo-folds; CIN uses 3 layers, GIN k/2
+    (parity: run_ring_exp.py:10-44)."""
+    parser = get_parser()
+    args = parser.parse_args(copy.copy(passed_args))
+    assert args.max_ring_size is None
+    results = {}
+    for size in RING_SIZES:
+        num_layers = 3 if args.model == "ring_sparse_cin" else size // 2
+        accs = []
+        for seed in range(args.start_seed, args.stop_seed + 1):
+            curves = main(parser.parse_args(
+                copy.copy(passed_args)
+                + ["--max_ring_size", str(size),
+                   "--num_layers", str(num_layers), "--seed", str(seed)]))
+            accs.append(curves["last_val"])
+        results[size] = {"mean": float(np.mean(accs)),
+                         "std": float(np.std(accs))}
+        print(f"ring size {size}: {results[size]['mean']:.4f} "
+              f"+/- {results[size]['std']:.4f}")
+    return results

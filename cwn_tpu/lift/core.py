@@ -118,7 +118,8 @@ def build_complex_from_cells(cell_tables: List[List[VertexTuple]],
                              xs: List[Optional[np.ndarray]],
                              y=None,
                              v_y=None,
-                             include_down_adj: bool = True) -> Complex:
+                             include_down_adj: bool = True,
+                             v_mask=None) -> Complex:
     """Assemble a Complex from cell tables + per-cell boundary ids + features."""
     complex_dim = len(cell_tables) - 1
     num_cells_per_dim = [len(t) for t in cell_tables]
@@ -155,6 +156,7 @@ def build_complex_from_cells(cell_tables: List[List[VertexTuple]],
             shared_boundaries=sb,
             boundary_index=boundary_index,
             y=v_y if dim == 0 else None,
+            mask=v_mask if dim == 0 else None,
             num_cells=n,
             num_cells_up=(num_cells_per_dim[dim + 1] if dim < complex_dim else 0),
             num_cells_down=(num_cells_per_dim[dim - 1] if dim > 0 else 0),

@@ -96,7 +96,7 @@ def ring_boundary_edges(ring: Tuple[int, ...]) -> List[Tuple[int, int]]:
 def ring_2complex(x, edge_index, edge_attr, size: int, y=None,
                   max_k: int = 7, include_down_adj: bool = True,
                   init_method: str = "sum", init_edges: bool = True,
-                  init_rings: bool = False) -> Complex:
+                  init_rings: bool = False, v_mask=None) -> Complex:
     """Lift a graph to a 2-dimensional regular cell complex with ring 2-cells.
 
     Behavioural parity with
@@ -161,7 +161,7 @@ def ring_2complex(x, edge_index, edge_attr, size: int, y=None,
 
     return build_complex_from_cells(
         cell_tables, boundaries_tables, xs, y=complex_y, v_y=v_y,
-        include_down_adj=include_down_adj)
+        include_down_adj=include_down_adj, v_mask=v_mask)
 
 
 def convert_graph_dataset_with_rings(graphs, max_ring_size: int = 7,
@@ -180,7 +180,7 @@ def convert_graph_dataset_with_rings(graphs, max_ring_size: int = 7,
             g.x, g.edge_index, g.edge_attr, g.num_nodes, y=g.y,
             max_k=max_ring_size, include_down_adj=include_down_adj,
             init_method=init_method, init_edges=init_edges,
-            init_rings=init_rings)
+            init_rings=init_rings, v_mask=getattr(g, "mask", None))
 
     graphs = list(graphs)
     if n_jobs > 1:
@@ -217,4 +217,5 @@ def _convert_worker(args):
     return ring_2complex(
         g.x, g.edge_index, g.edge_attr, g.num_nodes, y=g.y,
         max_k=max_ring_size, include_down_adj=include_down_adj,
-        init_method=init_method, init_edges=init_edges, init_rings=init_rings)
+        init_method=init_method, init_edges=init_edges, init_rings=init_rings,
+        v_mask=getattr(g, "mask", None))

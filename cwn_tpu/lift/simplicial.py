@@ -73,7 +73,7 @@ def simplex_boundary_tables(cell_tables: List[List[Tuple[int, ...]]]
 
 def clique_complex(x, edge_index, size: int, expansion_dim: int = 2,
                    y=None, include_down_adj: bool = True,
-                   init_method: str = "sum") -> Complex:
+                   init_method: str = "sum", v_mask=None) -> Complex:
     """Lift a graph to its clique complex up to `expansion_dim`.
 
     Behavioural parity with
@@ -92,7 +92,7 @@ def clique_complex(x, edge_index, size: int, expansion_dim: int = 2,
 
     return build_complex_from_cells(
         cell_tables, boundaries_tables, xs, y=complex_y, v_y=v_y,
-        include_down_adj=include_down_adj)
+        include_down_adj=include_down_adj, v_mask=v_mask)
 
 
 def convert_graph_dataset_with_cliques(graphs, expansion_dim: int = 2,

@@ -22,3 +22,20 @@ from cwn_tpu.models.cin import (
     CINppCochainConv,
     SparseCINLayer,
 )
+from cwn_tpu.models.baselines import (
+    CIN0,
+    EdgeCIN0,
+    Dummy,
+    MessagePassingAgnostic,
+)
+from cwn_tpu.models.molec import (
+    EmbedSparseCIN,
+    EmbedCINpp,
+    OGBEmbedSparseCIN,
+    OGBEmbedCINpp,
+    EmbedSparseCINNoRings,
+    EmbedGIN,
+)
+from cwn_tpu.models.orient import OrientedConv, EdgeOrient, EdgeMPNN
+from cwn_tpu.models.ring_exp import RingSparseCIN, RingGIN
+from cwn_tpu.models.graph import GIN, GIN0, GIN0WithJK, GINWithJK

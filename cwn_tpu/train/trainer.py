@@ -263,6 +263,12 @@ class Trainer:
             loss = float(s) / max(float(w), 1.0)
         return {"metric": metric, "loss": loss}
 
+    def count_params(self) -> int:
+        """Total trainable parameter count
+        (parity: /root/reference/exp/run_exp.py:330-340)."""
+        sizes = jax.tree.map(lambda a: int(np.prod(a.shape)), self.params)
+        return int(sum(jax.tree.leaves(sizes)))
+
     @property
     def lr(self) -> float:
         return self.scheduler.lr
