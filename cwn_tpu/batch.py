@@ -61,6 +61,15 @@ class CochainBuffers:
     down_orient: Optional[np.ndarray]  # [E_dn] float
     y: Optional[np.ndarray]            # [N] per-cell labels
     sel_mask: Optional[np.ndarray]     # [N] float, 1 = readout-selected cell
+    # Optional Pallas tile plans (cwn_tpu.ops.tiles.TilePlan) for the fused
+    # one-hot SpMM kernels; populated by add_tile_plans().  *_t are the
+    # transpose plans used by the custom VJP.
+    up_plan: Optional[object] = None
+    up_plan_t: Optional[object] = None
+    down_plan: Optional[object] = None
+    down_plan_t: Optional[object] = None
+    b_plan: Optional[object] = None
+    b_plan_t: Optional[object] = None
 
     @property
     def num_cells_padded(self) -> int:
@@ -347,3 +356,39 @@ def pack_complexes(complexes: Sequence[Complex], max_dim: int,
 
     return ComplexBatch(dims=tuple(dims), y=y, y_mask=y_mask,
                         batch_size=plan.batch_size, max_dim=max_dim)
+
+
+def add_tile_plans(batch: ComplexBatch, tile: int = 256, window: int = 256,
+                   block: int = 256) -> ComplexBatch:
+    """Attach Pallas SpMM tile plans (forward + transpose) to every
+    adjacency of the batch.  Orientation weights, when present, are folded
+    into the plan weights (message = orient * x_src)."""
+    from cwn_tpu.ops.tiles import build_tile_plan
+
+    new_dims = []
+    for k, d in enumerate(batch.dims):
+        n_k = d.cell_mask.shape[0]
+        n_dn = batch.dims[k - 1].cell_mask.shape[0] if k > 0 else 0
+
+        def plans(src, dst, mask, orient, n_src, n_dst):
+            w = mask if orient is None else mask * orient
+            fwd = build_tile_plan(src, dst, w, n_src, n_dst,
+                                  tile=tile, window=window, block=block)
+            bwd = build_tile_plan(dst, src, w, n_dst, n_src,
+                                  tile=tile, window=window, block=block)
+            return fwd, bwd
+
+        up_p = up_pt = down_p = down_pt = b_p = b_pt = None
+        if d.up_src.shape[0] > 0:
+            up_p, up_pt = plans(d.up_src, d.up_dst, d.up_mask, d.up_orient,
+                                n_k, n_k)
+        if d.down_src.shape[0] > 0:
+            down_p, down_pt = plans(d.down_src, d.down_dst, d.down_mask,
+                                    d.down_orient, n_k, n_k)
+        if k > 0 and d.b_src.shape[0] > 0:
+            b_p, b_pt = plans(d.b_src, d.b_dst, d.b_mask, None, n_dn, n_k)
+
+        new_dims.append(d.replace(up_plan=up_p, up_plan_t=up_pt,
+                                  down_plan=down_p, down_plan_t=down_pt,
+                                  b_plan=b_p, b_plan_t=b_pt))
+    return batch.replace(dims=tuple(new_dims))

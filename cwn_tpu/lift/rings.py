@@ -27,15 +27,24 @@ from cwn_tpu.lift.core import (
 )
 
 
-def find_induced_cycles(edge_index, num_vertices: int, max_k: int = 7
-                        ) -> List[Tuple[int, ...]]:
+def find_induced_cycles(edge_index, num_vertices: int, max_k: int = 7,
+                        use_native: bool = True) -> List[Tuple[int, ...]]:
     """All chordless (induced) cycles with 3..max_k vertices.
 
     DFS over induced paths: a path [r, v1, ..., vt] (r minimal, all others
     > r) is grown only with vertices adjacent to the tip and to no other
     path vertex; a cycle closes when the new vertex is also adjacent to r.
     Direction duplicates are removed by requiring v1 < closing vertex.
+
+    Uses the native C++ kernel (cwn_tpu/native/lift.cpp) when available;
+    this pure-Python body doubles as the fallback and the cross-check
+    oracle.
     """
+    if use_native:
+        from cwn_tpu.native import native_find_induced_cycles
+        rings = native_find_induced_cycles(edge_index, num_vertices, max_k)
+        if rings is not None:
+            return rings
     edges = edges_from_edge_index(np.asarray(edge_index))
     adj = [set() for _ in range(num_vertices)]
     for u, v in edges:

@@ -73,7 +73,8 @@ class SparseCINCochainConv(nn.Module):
         out_up, _, out_bnd = propagate(
             buf, x, up_attr=up_attr, boundary_attr=boundary_attr,
             message_up=message_up,
-            message_boundary=(lambda b: b) if boundary_attr is not None else None)
+            message_boundary=(lambda b: b) if boundary_attr is not None else None,
+            up_identity=not self.use_coboundaries, boundary_identity=True)
 
         out_up = out_up + (1.0 + eps1) * x
         out_bnd = out_bnd + (1.0 + eps2) * x
@@ -143,7 +144,9 @@ class CINppCochainConv(nn.Module):
             buf, x, up_attr=up_attr, down_attr=down_attr,
             boundary_attr=boundary_attr,
             message_up=message_up, message_down=message_down,
-            message_boundary=(lambda b: b) if boundary_attr is not None else None)
+            message_boundary=(lambda b: b) if boundary_attr is not None else None,
+            up_identity=not self.use_coboundaries,
+            down_identity=not self.use_coboundaries, boundary_identity=True)
 
         out_up = out_up + (1.0 + eps1) * x
         out_down = out_down + (1.0 + eps2) * x

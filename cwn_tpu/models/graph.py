@@ -40,7 +40,8 @@ class GIN(nn.Module):
                 eps = self.param(f"eps_{c}", nn.initializers.zeros, (1,))
             else:
                 eps = 0.0
-            agg, _, _ = propagate(buf, x, message_up=lambda xj, a: xj)
+            agg, _, _ = propagate(buf, x, message_up=lambda xj, a: xj,
+                                  up_identity=True)
             h = agg + (1.0 + eps) * x
             x = UpdateMLP(self.hidden, self.nonlinearity, "bn",
                           name=f"conv{c}")(h, mask=buf.cell_mask, train=train)

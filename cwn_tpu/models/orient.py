@@ -34,21 +34,35 @@ class OrientedConv(nn.Module):
         act = get_nonlinearity(self.act)
         n = x.shape[0]
 
+        # NOTE: tile plans fold orientation weights in, so the Pallas path is
+        # only taken when orientation usage matches the plan (orient=True or
+        # no orientations recorded).
+        plans_ok = self.orient or buf.up_orient is None
+
         up_out = jnp.zeros((n, x.shape[-1]), x.dtype)
         if self.use_up and buf.up_src.shape[0] > 0:
-            m = jnp.take(x, buf.up_src, axis=0, mode="clip")
-            if self.orient and buf.up_orient is not None:
-                m = m * buf.up_orient[:, None]
-            up_out = segment_sum(m, buf.up_dst, n, mask=buf.up_mask,
-                                 indices_are_sorted=True)
+            if plans_ok and buf.up_plan is not None:
+                from cwn_tpu.mp import _identity_channel
+                up_out = _identity_channel(x, buf.up_plan, buf.up_plan_t, n)
+            else:
+                m = jnp.take(x, buf.up_src, axis=0, mode="clip")
+                if self.orient and buf.up_orient is not None:
+                    m = m * buf.up_orient[:, None]
+                up_out = segment_sum(m, buf.up_dst, n, mask=buf.up_mask,
+                                     indices_are_sorted=True)
 
         down_out = jnp.zeros((n, x.shape[-1]), x.dtype)
         if buf.down_src.shape[0] > 0:
-            m = jnp.take(x, buf.down_src, axis=0, mode="clip")
-            if self.orient and buf.down_orient is not None:
-                m = m * buf.down_orient[:, None]
-            down_out = segment_sum(m, buf.down_dst, n, mask=buf.down_mask,
-                                   indices_are_sorted=True)
+            if plans_ok and buf.down_plan is not None:
+                from cwn_tpu.mp import _identity_channel
+                down_out = _identity_channel(x, buf.down_plan,
+                                             buf.down_plan_t, n)
+            else:
+                m = jnp.take(x, buf.down_src, axis=0, mode="clip")
+                if self.orient and buf.down_orient is not None:
+                    m = m * buf.down_orient[:, None]
+                down_out = segment_sum(m, buf.down_dst, n, mask=buf.down_mask,
+                                       indices_are_sorted=True)
 
         out = Linear(self.hidden, use_bias=False, name="update")(x)
         if self.use_up:

@@ -86,7 +86,8 @@ class RingGIN(nn.Module):
         x = Linear(self.num_features, name="init_linear")(x)
 
         for c in range(self.num_layers):
-            agg, _, _ = propagate(buf, x, message_up=lambda xj, a: xj)
+            agg, _, _ = propagate(buf, x, message_up=lambda xj, a: xj,
+                                  up_identity=True)
             h = agg + x     # GIN eps=0, not trained
             x = UpdateMLP(self.hidden, self.nonlinearity, self.graph_norm,
                           name=f"conv{c}")(h, mask=buf.cell_mask, train=train)

@@ -41,6 +41,17 @@ def gather_down_attr(buf: CochainBuffers, x_down: Optional[jnp.ndarray]):
     return jnp.take(x_down, buf.down_shared, axis=0, mode='clip')
 
 
+def _identity_channel(x_source, plan, plan_t, n):
+    """Fused Pallas gather+weight+segment-sum for identity messages."""
+    from cwn_tpu.ops.pallas_segment import segment_spmm_ad
+    return segment_spmm_ad(x_source, plan, plan_t)[:n]
+
+
+def _plan_usable(plan, x):
+    """Kernel path requires f32 (the fp64 SR path keeps the XLA oracle)."""
+    return plan is not None and x.dtype == jnp.float32
+
+
 def propagate(buf: CochainBuffers,
               x: jnp.ndarray,
               up_attr: Optional[jnp.ndarray] = None,
@@ -51,37 +62,59 @@ def propagate(buf: CochainBuffers,
               message_boundary: Optional[Callable] = None,
               aggr_up: str = "add",
               aggr_down: str = "add",
-              aggr_boundary: str = "add"):
+              aggr_boundary: str = "add",
+              up_identity: bool = False,
+              down_identity: bool = False,
+              boundary_identity: bool = False):
     """Run the three adjacency channels; returns (up_out, down_out, boundary_out).
 
     Channels run when a message function is given AND the buffer has slots;
     otherwise their output is zeros shaped like the message output (here:
     like x, since all shipped message functions preserve feature size).
+
+    *_identity declares that the message function is the identity on the
+    gathered features (possibly orientation-weighted — weights live in the
+    tile plan); when the batch carries Pallas tile plans, those channels run
+    as fused one-hot SpMM kernels on the MXU, with the XLA gather+segsum as
+    the fallback/oracle path.
     """
     n = x.shape[0]
     zeros = jnp.zeros_like(x)
 
     up_out = zeros
     if message_up is not None and buf.up_src.shape[0] > 0:
-        up_x_j = jnp.take(x, buf.up_src, axis=0, mode='clip')
-        msg = message_up(up_x_j, up_attr)
-        up_out = segment_reduce(aggr_up)(
-            msg, buf.up_dst, n, mask=buf.up_mask, indices_are_sorted=True)
+        if up_identity and _plan_usable(buf.up_plan, x) and aggr_up == "add":
+            up_out = _identity_channel(x, buf.up_plan, buf.up_plan_t, n)
+        else:
+            up_x_j = jnp.take(x, buf.up_src, axis=0, mode='clip')
+            msg = message_up(up_x_j, up_attr)
+            up_out = segment_reduce(aggr_up)(
+                msg, buf.up_dst, n, mask=buf.up_mask, indices_are_sorted=True)
 
     down_out = zeros
     if message_down is not None and buf.down_src.shape[0] > 0:
-        down_x_j = jnp.take(x, buf.down_src, axis=0, mode='clip')
-        msg = message_down(down_x_j, down_attr)
-        down_out = segment_reduce(aggr_down)(
-            msg, buf.down_dst, n, mask=buf.down_mask, indices_are_sorted=True)
+        if down_identity and _plan_usable(buf.down_plan, x) and aggr_down == "add":
+            down_out = _identity_channel(x, buf.down_plan, buf.down_plan_t, n)
+        else:
+            down_x_j = jnp.take(x, buf.down_src, axis=0, mode='clip')
+            msg = message_down(down_x_j, down_attr)
+            down_out = segment_reduce(aggr_down)(
+                msg, buf.down_dst, n, mask=buf.down_mask,
+                indices_are_sorted=True)
 
     boundary_out = zeros
     if message_boundary is not None and boundary_attr is not None \
             and buf.b_src.shape[0] > 0:
-        boundary_x_j = jnp.take(boundary_attr, buf.b_src, axis=0, mode='clip')
-        msg = message_boundary(boundary_x_j)
-        boundary_out = segment_reduce(aggr_boundary)(
-            msg, buf.b_dst, n, mask=buf.b_mask, indices_are_sorted=True)
+        if boundary_identity and _plan_usable(buf.b_plan, boundary_attr) \
+                and aggr_boundary == "add":
+            boundary_out = _identity_channel(boundary_attr, buf.b_plan,
+                                             buf.b_plan_t, n)
+        else:
+            boundary_x_j = jnp.take(boundary_attr, buf.b_src, axis=0,
+                                    mode='clip')
+            msg = message_boundary(boundary_x_j)
+            boundary_out = segment_reduce(aggr_boundary)(
+                msg, buf.b_dst, n, mask=buf.b_mask, indices_are_sorted=True)
 
     return up_out, down_out, boundary_out
 
@@ -90,6 +123,9 @@ def boundary_reduce(boundary_x: jnp.ndarray, buf: CochainBuffers,
                     num_cells: int, reduce: str = "add") -> jnp.ndarray:
     """Reduce boundary-cell features into each cell (InitReduceConv,
     /root/reference/mp/layers.py:473-487)."""
+    if reduce == "add" and _plan_usable(buf.b_plan, boundary_x):
+        return _identity_channel(boundary_x, buf.b_plan, buf.b_plan_t,
+                                 num_cells)
     feats = jnp.take(boundary_x, buf.b_src, axis=0, mode='clip')
     return segment_reduce(reduce)(
         feats, buf.b_dst, num_cells, mask=buf.b_mask, indices_are_sorted=True)

@@ -1,0 +1,168 @@
+"""Host-side tile planning for the Pallas segment-SpMM kernel.
+
+The kernel turns gather->segment-sum into two MXU matmuls per edge tile:
+
+    msg  = onehot(src - win_start) @ x[win_start : win_start+W]   [T,W]@[W,F]
+    out += onehot_dst(dst - block*B)^T-style matmul               [B,T]@[T,F]
+
+For that to work each tile must satisfy, by construction here:
+  1. all src ids lie in an arbitrary window [win_start, win_start + W)
+     (x windows are DMA'd with dynamic offsets, no alignment needed);
+  2. all dst ids lie in ONE aligned output block [b*B, (b+1)*B)
+     (output blocks live on a regular grid so Pallas can map them);
+  3. tile out-block ids are non-decreasing, and EVERY output block is
+     visited at least once (empty blocks get all-padding tiles), so the
+     kernel can zero each block on first visit and accumulate.
+
+num_tiles is padded to a bucket size so jit compiles O(log) shapes.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class TilePlan:
+    """Device arrays + static geometry for one adjacency's tiles."""
+
+    src_rel: np.ndarray    # [tiles, T] int32, src - win_start[tile]
+    dst_rel: np.ndarray    # [tiles, T] int32, dst - block*out_block[tile]
+    mask: np.ndarray       # [tiles, T] float32
+    extra_rel: Optional[np.ndarray]  # [tiles, T] int32 (2nd gather stream)
+    win_start: np.ndarray  # [tiles] int32
+    extra_start: Optional[np.ndarray]  # [tiles] int32
+    out_block: np.ndarray  # [tiles] int32 (block ids, non-decreasing)
+    tile: int = struct.field(pytree_node=False)
+    window: int = struct.field(pytree_node=False)
+    block: int = struct.field(pytree_node=False)
+    num_src: int = struct.field(pytree_node=False)   # x rows (padded, >= window)
+    num_extra: int = struct.field(pytree_node=False)
+    num_dst: int = struct.field(pytree_node=False)   # out rows (multiple of block)
+
+    @property
+    def num_tiles(self) -> int:
+        return int(self.win_start.shape[0])
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def _pow2_round(n: int, minimum: int = 1) -> int:
+    n = max(n, minimum)
+    return 1 << int(np.ceil(np.log2(n)))
+
+
+def build_tile_plan(src, dst, mask, num_src: int, num_dst: int,
+                    extra=None, num_extra: int = 0,
+                    tile: int = 512, window: int = 512, block: int = 256,
+                    bucket_tiles: bool = True) -> TilePlan:
+    """Plan dst-sorted edges into kernel tiles (see module docstring)."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    mask = np.asarray(mask, np.float32)
+    has_extra = extra is not None
+    extra = np.asarray(extra, np.int64) if has_extra else None
+
+    valid = mask != 0          # weights may be signed (orientations)
+    order = np.argsort(dst, kind="stable")
+    order = order[valid[order]]
+    src, dst = src[order], dst[order]
+    weights = mask[order]
+    extra_v = extra[order] if has_extra else None
+
+    num_src_pad = max(_round_up(num_src, 8), window)
+    num_extra_pad = max(_round_up(num_extra, 8), window) if has_extra else 0
+    num_dst_pad = _round_up(max(num_dst, block), block)
+    n_blocks = num_dst_pad // block
+
+    # Greedy split into tiles.
+    raw_tiles = []  # (i, j, w0, e0, blk)
+    i, n = 0, len(dst)
+    while i < n:
+        blk = int(dst[i]) // block
+        smin = smax = int(src[i])
+        emin = emax = int(extra_v[i]) if has_extra else 0
+        j = i
+        while j < n and (j - i) < tile:
+            if int(dst[j]) // block != blk:
+                break
+            ns_min, ns_max = min(smin, int(src[j])), max(smax, int(src[j]))
+            if ns_max - (ns_min // 8) * 8 >= window:
+                break
+            if has_extra:
+                ne_min = min(emin, int(extra_v[j]))
+                ne_max = max(emax, int(extra_v[j]))
+                if ne_max - (ne_min // 8) * 8 >= window:
+                    break
+                emin, emax = ne_min, ne_max
+            smin, smax = ns_min, ns_max
+            j += 1
+        # Align window starts to the sublane granularity: unaligned dynamic
+        # slices on the second-minor dim force slow relayouts in Mosaic.
+        w0 = min((smin // 8) * 8, num_src_pad - window)
+        e0 = min((emin // 8) * 8, num_extra_pad - window) if has_extra else 0
+        raw_tiles.append((i, j, w0, e0, blk))
+        i = j
+
+    # Interleave all-padding tiles so every out block is visited, in order.
+    tiles = []
+    next_block = 0
+    for (i, j, w0, e0, blk) in raw_tiles:
+        while next_block < blk:
+            tiles.append((None, None, 0, 0, next_block))
+            next_block += 1
+        tiles.append((i, j, w0, e0, blk))
+        next_block = max(next_block, blk + 1)
+    while next_block < n_blocks:
+        tiles.append((None, None, 0, 0, next_block))
+        next_block += 1
+
+    # Pad the tile count to a power of two with trailing accumulation tiles
+    # (same block as the last tile, all-masked).
+    n_tiles = len(tiles)
+    target = _pow2_round(n_tiles) if bucket_tiles else n_tiles
+    while len(tiles) < target:
+        tiles.append((None, None, 0, 0, tiles[-1][4]))
+
+    t_count = len(tiles)
+    src_rel = np.zeros((t_count, tile), np.int32)
+    dst_rel = np.zeros((t_count, tile), np.int32)
+    m = np.zeros((t_count, tile), np.float32)
+    ex_rel = np.zeros((t_count, tile), np.int32) if has_extra else None
+    win_start = np.zeros(t_count, np.int32)
+    ex_start = np.zeros(t_count, np.int32) if has_extra else None
+    out_block = np.zeros(t_count, np.int32)
+
+    for t, (i, j, w0, e0, blk) in enumerate(tiles):
+        out_block[t] = blk
+        win_start[t] = w0
+        if has_extra:
+            ex_start[t] = e0
+        if i is None:
+            continue
+        cnt = j - i
+        src_rel[t, :cnt] = src[i:j] - w0
+        dst_rel[t, :cnt] = dst[i:j] - blk * block
+        m[t, :cnt] = weights[i:j]
+        if has_extra:
+            ex_rel[t, :cnt] = extra_v[i:j] - e0
+        assert src_rel[t].max() < window and src_rel[t].min() >= 0
+        assert dst_rel[t].max() < block and dst_rel[t].min() >= 0
+
+    # Shape [tiles, 1, T]: Pallas TPU block shapes must have their last two
+    # dims divisible by (8, 128) OR equal to the array dims; (1, T) blocks on
+    # a [tiles, 1, T] array satisfy the latter.
+    def _r(a):
+        return None if a is None else a[:, None, :]
+
+    return TilePlan(
+        src_rel=_r(src_rel), dst_rel=_r(dst_rel), mask=_r(m),
+        extra_rel=_r(ex_rel),
+        win_start=win_start, extra_start=ex_start, out_block=out_block,
+        tile=tile, window=window, block=block,
+        num_src=num_src_pad, num_extra=num_extra_pad, num_dst=num_dst_pad)

@@ -40,7 +40,8 @@ class ComplexLoader:
                  max_dim: int = 2, shuffle: bool = False, seed: int = 0,
                  pad_multiple: int = 128, plan: Optional[PadPlan] = None,
                  keep_top_upper: bool = False, x_dtype=np.float32,
-                 drop_last: bool = False):
+                 drop_last: bool = False, use_pallas: bool = False,
+                 kernel_tile: int = 256):
         self.complexes = list(complexes)
         self.batch_size = batch_size
         self.max_dim = max_dim
@@ -50,6 +51,8 @@ class ComplexLoader:
         self.keep_top_upper = keep_top_upper
         self.x_dtype = x_dtype
         self.drop_last = drop_last
+        self.use_pallas = use_pallas
+        self.kernel_tile = kernel_tile
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
@@ -76,6 +79,12 @@ class ComplexLoader:
                     batch_size=self.batch_size,
                     pad_multiple=self.pad_multiple)
                 plan = bucketize_plan(plan, self.pad_multiple)
-            yield pack_complexes(batch_complexes, self.max_dim, plan=plan,
-                                 x_dtype=self.x_dtype,
-                                 keep_top_upper=self.keep_top_upper)
+            packed = pack_complexes(batch_complexes, self.max_dim, plan=plan,
+                                    x_dtype=self.x_dtype,
+                                    keep_top_upper=self.keep_top_upper)
+            if self.use_pallas:
+                from cwn_tpu.batch import add_tile_plans
+                packed = add_tile_plans(packed, tile=self.kernel_tile,
+                                        window=self.kernel_tile,
+                                        block=self.kernel_tile)
+            yield packed

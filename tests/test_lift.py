@@ -173,3 +173,20 @@ def test_all_fixtures_lift_clean():
             for dim, co in comp.cochains.items():
                 if co.boundary_index is not None and dim > 0:
                     assert co.boundary_index[0].max() < comp.cochains[dim - 1].num_cells
+
+
+def test_native_ring_kernel_matches_python():
+    """The C++ enumeration must agree with the pure-Python oracle."""
+    rng = np.random.default_rng(7)
+    for seed in range(4):
+        r = np.random.default_rng(seed)
+        n = 30
+        mask = r.random((n, n)) < 0.15
+        pairs = [(i, j) for i in range(n) for j in range(i + 1, n) if mask[i, j]]
+        if not pairs:
+            continue
+        ei = np.array([[u for u, v in pairs] + [v for u, v in pairs],
+                       [v for u, v in pairs] + [u for u, v in pairs]])
+        a = find_induced_cycles(ei, n, max_k=8, use_native=True)
+        b = find_induced_cycles(ei, n, max_k=8, use_native=False)
+        assert a == b
