@@ -55,6 +55,10 @@ def main():
         int(d.up_mask.sum()) + int(d.b_mask.sum()) for d in batch.dims)
     msgs_per_step = msgs_per_layer * num_layers
 
+    from cwn_tpu.batch import add_tile_plans
+    batch = add_tile_plans(batch)       # Pallas one-hot SpMM kernels
+    batch = jax.device_put(batch)       # device-resident (steady-state train)
+
     model = EmbedSparseCIN(
         atom_types=28, bond_types=4, out_size=1, num_layers=num_layers,
         hidden=hidden, dropout_rate=0.0, max_dim=2, use_coboundaries=True,

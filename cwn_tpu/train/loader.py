@@ -41,7 +41,7 @@ class ComplexLoader:
                  pad_multiple: int = 128, plan: Optional[PadPlan] = None,
                  keep_top_upper: bool = False, x_dtype=np.float32,
                  drop_last: bool = False, use_pallas: bool = False,
-                 kernel_tile: int = 256):
+                 kernel_tile: int = 256, device_prefetch: bool = True):
         self.complexes = list(complexes)
         self.batch_size = batch_size
         self.max_dim = max_dim
@@ -53,6 +53,7 @@ class ComplexLoader:
         self.drop_last = drop_last
         self.use_pallas = use_pallas
         self.kernel_tile = kernel_tile
+        self.device_prefetch = device_prefetch
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
@@ -63,6 +64,23 @@ class ComplexLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[ComplexBatch]:
+        it = self._iter_host()
+        if not self.device_prefetch:
+            yield from it
+            return
+        # One-deep device prefetch: upload batch i+1 (async dispatch of
+        # device_put) while batch i computes — hides host->device latency.
+        import jax
+        pending = None
+        for batch in it:
+            staged = jax.device_put(batch)
+            if pending is not None:
+                yield pending
+            pending = staged
+        if pending is not None:
+            yield pending
+
+    def _iter_host(self) -> Iterator[ComplexBatch]:
         idx = np.arange(len(self.complexes))
         if self.shuffle:
             self._rng.shuffle(idx)
