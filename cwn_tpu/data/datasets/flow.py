@@ -75,20 +75,19 @@ def extract_boundary_matrices(points, triangles):
 
 def extract_adj_from_boundary(B) -> Tuple[np.ndarray, np.ndarray]:
     """Adjacency (both directions) + +-1 orientations from Bt B sign pattern
-    (flow_utils.py:199-230)."""
+    (flow_utils.py:199-230), vectorised."""
     A = B.T @ B
-    n = A.shape[0]
-    src, dst, orient = [], [], []
-    for i in range(n):
-        for j in range(i):
-            v = A[i, j]
-            if v != 0:
-                s = float(np.sign(v))
-                src += [i, j]
-                dst += [j, i]
-                orient += [s, s]
-    index = np.array([src, dst], dtype=np.int64) if src else np.zeros((2, 0), np.int64)
-    return index, np.array(orient)
+    np.fill_diagonal(A, 0)
+    ii, jj = np.nonzero(A)
+    sel = ii > jj
+    ii, jj = ii[sel], jj[sel]
+    s = np.sign(A[ii, jj]).astype(np.float64)
+    src = np.concatenate([ii, jj])
+    dst = np.concatenate([jj, ii])
+    orient = np.concatenate([s, s])
+    index = (np.stack([src, dst]).astype(np.int64)
+             if len(src) else np.zeros((2, 0), np.int64))
+    return index, orient
 
 
 def _sample_in_rect(points, rect, rng):
@@ -144,22 +143,41 @@ def get_orient_matrix(size: int, orientation: str, rng) -> np.ndarray:
 
 
 def build_flow_cochain(B1, B2, T2, x, class_id) -> Complex:
-    """1-cochain wrapped as a Complex (empty dim 0) for uniform batching."""
-    B1 = B1 @ T2
-    B2 = T2 @ B2
-    lower_index, lower_orient = extract_adj_from_boundary(B1)
-    upper_index, upper_orient = extract_adj_from_boundary(B2.T)
-    x = T2 @ x
+    """1-cochain wrapped as a Complex (empty dim 0) for uniform batching.
+
+    Orientation flips conjugate the adjacency signs: with T2 = diag(s),
+    A' = T2 Bt B T2 so orient'(i,j) = s_i s_j orient(i,j) — the structural
+    extraction runs once per triangulation and is cached on (id(B1), id(B2)).
+    """
+    key = (id(B1), id(B2))
+    cached = _ADJ_CACHE.get(key)
+    if cached is None:
+        lower_index, lower_orient = extract_adj_from_boundary(B1)
+        upper_index, upper_orient = extract_adj_from_boundary(B2.T)
+        cached = (lower_index, lower_orient, upper_index, upper_orient)
+        _ADJ_CACHE[key] = cached
+    lower_index, lower_orient, upper_index, upper_orient = cached
+
+    s = np.diag(T2).astype(np.float64)
+    lo = lower_orient * s[lower_index[0]] * s[lower_index[1]] \
+        if lower_index.size else lower_orient
+    uo = upper_orient * s[upper_index[0]] * s[upper_index[1]] \
+        if upper_index.size else upper_orient
+    x = s[:, None] * x
+
     edge_cochain = Cochain(
         dim=1, x=x.astype(np.float32), upper_index=upper_index,
         lower_index=lower_index,
         shared_coboundaries=np.zeros(upper_index.shape[1], np.int64),
         shared_boundaries=np.zeros(lower_index.shape[1], np.int64),
-        upper_orient=upper_orient, lower_orient=lower_orient,
+        upper_orient=uo, lower_orient=lo,
         num_cells=x.shape[0])
     v_cochain = Cochain(dim=0, num_cells=0)
     return Complex(v_cochain, edge_cochain, y=np.array([class_id]),
                    dimension=1)
+
+
+_ADJ_CACHE: dict = {}
 
 
 def load_flow_dataset(num_points: int = 1000, num_train: int = 1000,

@@ -165,6 +165,11 @@ def main(args) -> Dict:
 
     np.random.seed(args.seed)
 
+    # --device -1 pins to the CPU backend (small experiments where TPU
+    # dispatch latency dominates); >=0 keeps the default backend.
+    if args.device < 0:
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
     if args.task_type == "isomorphism":
         # fp64 on CPU: TPUs have no native double precision and the SR
         # expressivity protocol requires it (reference run_exp.py:41-43).

@@ -8,6 +8,7 @@ MLPs).
 """
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Callable, Optional, Sequence
 
 import jax
@@ -103,10 +104,16 @@ class MaskedBatchNorm(nn.Module):
     running stats with momentum 0.1 (running var uses unbiased variance).
     Eval: normalise by running stats.  Matches torch.nn.BatchNorm1d applied
     to the unpadded rows.
+
+    `axis_name` (set via the model's sync_bn config) makes the statistics
+    cross-replica under shard_map/pmap: sums and counts are psum'd over the
+    named mesh axis, so data-parallel training normalises exactly like
+    single-device training on the global batch.
     """
 
     momentum: float = 0.1
     epsilon: float = 1e-5
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None, train: bool = False):
@@ -120,15 +127,19 @@ class MaskedBatchNorm(nn.Module):
 
         if train:
             if mask is None:
-                n = jnp.asarray(x.shape[0], x.dtype)
-                mean = jnp.mean(x, axis=0)
-                var = jnp.mean(jnp.square(x), axis=0) - jnp.square(mean)
+                m = jnp.ones((x.shape[0],), x.dtype)
             else:
                 m = mask.astype(x.dtype)
-                n = jnp.maximum(jnp.sum(m), 1.0)
-                mean = jnp.sum(x * m[:, None], axis=0) / n
-                var = jnp.sum(jnp.square(x) * m[:, None], axis=0) / n \
-                    - jnp.square(mean)
+            n = jnp.sum(m)
+            s1 = jnp.sum(x * m[:, None], axis=0)
+            s2 = jnp.sum(jnp.square(x) * m[:, None], axis=0)
+            if self.axis_name is not None:
+                n = jax.lax.psum(n, self.axis_name)
+                s1 = jax.lax.psum(s1, self.axis_name)
+                s2 = jax.lax.psum(s2, self.axis_name)
+            n = jnp.maximum(n, 1.0)
+            mean = s1 / n
+            var = s2 / n - jnp.square(mean)
             var = jnp.maximum(var, 0.0)
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
@@ -144,6 +155,22 @@ class MaskedBatchNorm(nn.Module):
         return (x - mean) * inv * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
+# Trace-time sync-BN context: the DP step sets this around model.apply so
+# every MaskedBatchNorm created during that trace psums its statistics over
+# the mesh axis (cross-replica BN), without plumbing a flag through every
+# module. None = per-replica/single-device BN (the reference's semantics).
+_BN_AXIS_NAME: list = [None]
+
+
+@contextlib.contextmanager
+def sync_bn_axis(axis_name: Optional[str]):
+    _BN_AXIS_NAME.append(axis_name)
+    try:
+        yield
+    finally:
+        _BN_AXIS_NAME.pop()
+
+
 class GraphNorm(nn.Module):
     """Factory-style wrapper: 'bn' (masked), 'ln', or 'id'.
 
@@ -155,7 +182,8 @@ class GraphNorm(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
         if self.kind == "bn":
-            return MaskedBatchNorm(name="bn")(x, mask=mask, train=train)
+            return MaskedBatchNorm(name="bn", axis_name=_BN_AXIS_NAME[-1])(
+                x, mask=mask, train=train)
         if self.kind == "ln":
             return nn.LayerNorm(epsilon=1e-5, name="ln")(x)
         if self.kind == "id":

@@ -24,24 +24,30 @@ def stack_shards(batches) -> ComplexBatch:
 
 
 def make_dp_train_step(model, tx, mesh: Mesh, loss_fn: Callable,
-                       axis: str = "data", donate: bool = True):
+                       axis: str = "data", donate: bool = True,
+                       sync_bn: bool = True):
     """Build a jitted data-parallel train step.
 
     loss_fn(outputs, y, y_mask) -> (loss_sum, weight_sum); sums are psum'd
     over the mesh then normalised, so the global loss is batch-size exact.
+    sync_bn=True makes batch-norm statistics cross-replica (exactly the
+    single-device semantics on the global batch).
 
     Returns step(params, batch_stats, opt_state, stacked_batch, rng)
       -> (params, batch_stats, opt_state, loss).
     """
+    from cwn_tpu.nn import sync_bn_axis
 
     def sharded_body(params, batch_stats, batch, rng):
         # shard_map hands each device a leading axis of size 1: strip it.
         batch_local = jax.tree.map(lambda x: x[0], batch)
 
         def loss_of(p):
-            out, mut = model.apply(
-                {"params": p, "batch_stats": batch_stats}, batch_local,
-                train=True, rngs={"dropout": rng}, mutable=["batch_stats"])
+            with sync_bn_axis(axis if sync_bn else None):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, batch_local,
+                    train=True, rngs={"dropout": rng},
+                    mutable=["batch_stats"])
             loss_sum, weight = loss_fn(out, batch_local.y, batch_local.y_mask)
             total_weight = jax.lax.psum(weight, axis)
             loss = jax.lax.psum(loss_sum, axis) / jnp.maximum(total_weight, 1.0)
@@ -49,8 +55,8 @@ def make_dp_train_step(model, tx, mesh: Mesh, loss_fn: Callable,
 
         (loss, new_bs), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
         grads = jax.lax.pmean(grads, axis)
-        # Batch stats are per-replica (cross-replica BN is a model-config
-        # opt-in, to be wired via axis_name); average to keep replicas equal.
+        # With sync_bn the replicas' stats are identical; pmean is a no-op
+        # then, and keeps replicas consistent in the per-replica mode.
         new_bs = jax.lax.pmean(new_bs, axis)
         return loss, grads, new_bs
 
