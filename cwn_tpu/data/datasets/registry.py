@@ -78,6 +78,10 @@ def load_dataset(name: str, fold: Optional[int] = None, seed: int = 0,
                                include_down_adj=include_down_adj,
                                init_method=init_method, root=root,
                                n_jobs=n_jobs)
+    if name_u == "CLUSTER":
+        from cwn_tpu.data.datasets.cluster import load_cluster_dataset
+        return load_cluster_dataset(max_dim=max_dim, root=root,
+                                    init_method=init_method)
     if name_u == "FLOW":
         from cwn_tpu.data.datasets.flow import load_flow_dataset_spec
         return load_flow_dataset_spec(root=root, **kwargs)

@@ -179,16 +179,26 @@ def main(args) -> Dict:
     else:
         x_dtype = np.float32
 
-    dataset = load_dataset(
-        args.dataset, fold=args.fold, seed=0, max_dim=args.max_dim,
-        max_ring_size=args.max_ring_size,
-        include_down_adj=args.include_down_adj,
-        init_method=args.init_method,
-        use_edge_features=args.use_edge_features,
-        simple_features=getattr(args, "simple_features", False),
-        n_jobs=args.preproc_jobs)
+    gin_family = args.model in ("gin", "gin0", "gin_jk", "gin0_jk")
+    from cwn_tpu.data.datasets.tu import TU_DATASETS
+    if gin_family and args.dataset.upper() in TU_DATASETS:
+        # GIN baselines consume plain graphs (parity:
+        # /root/reference/data/data_loading.py:198-258).
+        from cwn_tpu.data.datasets.graphs import load_graph_dataset
+        dataset = load_graph_dataset(args.dataset.upper(),
+                                     fold=args.fold or 0, seed=0)
+    else:
+        dataset = load_dataset(
+            args.dataset, fold=args.fold, seed=0, max_dim=args.max_dim,
+            max_ring_size=args.max_ring_size,
+            include_down_adj=args.include_down_adj,
+            init_method=args.init_method,
+            use_edge_features=args.use_edge_features,
+            simple_features=getattr(args, "simple_features", False),
+            n_jobs=args.preproc_jobs)
 
-    keep_top = args.model in ("edge_orient", "edge_mpnn")
+    keep_top = args.model in ("edge_orient", "edge_mpnn") or \
+        (gin_family and dataset.max_dim == 0)
     mk_loader = lambda split, shuffle: ComplexLoader(
         dataset.split(split), batch_size=args.batch_size,
         max_dim=dataset.max_dim, shuffle=shuffle, seed=args.seed,
