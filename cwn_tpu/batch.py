@@ -70,6 +70,17 @@ class CochainBuffers:
     down_plan_t: Optional[object] = None
     b_plan: Optional[object] = None
     b_plan_t: Optional[object] = None
+    # Fused-message plans (non-identity channels: act(W1 x_src + W2 x_shared
+    # + b) -> segment sum).  The fwd plan is up_plan/down_plan itself (it
+    # carries the shared-cell pointer as its extra stream); these are the
+    # two backward plans, sorted by src / by the shared pointer.
+    up_plan_bs: Optional[object] = None
+    up_plan_bc: Optional[object] = None
+    down_plan_bs: Optional[object] = None
+    down_plan_bc: Optional[object] = None
+    # Readout pooling plans (cells -> complex segments) + transpose.
+    pool_plan: Optional[object] = None
+    pool_plan_t: Optional[object] = None
 
     @property
     def num_cells_padded(self) -> int:
@@ -369,26 +380,50 @@ def add_tile_plans(batch: ComplexBatch, tile: int = 256, window: int = 256,
     for k, d in enumerate(batch.dims):
         n_k = d.cell_mask.shape[0]
         n_dn = batch.dims[k - 1].cell_mask.shape[0] if k > 0 else 0
+        n_up = (batch.dims[k + 1].cell_mask.shape[0]
+                if k + 1 < len(batch.dims) else 0)
 
-        def plans(src, dst, mask, orient, n_src, n_dst):
+        def plans(src, dst, mask, orient, n_src, n_dst,
+                  shared=None, n_shared=0):
+            """Identity fwd/transpose plans + (when `shared` is given) the
+            two fused-message backward plans (sorted by src / by shared)."""
             w = mask if orient is None else mask * orient
+            kw = dict(tile=tile, window=window, block=block)
             fwd = build_tile_plan(src, dst, w, n_src, n_dst,
-                                  tile=tile, window=window, block=block)
-            bwd = build_tile_plan(dst, src, w, n_dst, n_src,
-                                  tile=tile, window=window, block=block)
-            return fwd, bwd
+                                  extra=shared, num_extra=n_shared, **kw)
+            bwd = build_tile_plan(dst, src, w, n_dst, n_src, **kw)
+            if shared is None:
+                return fwd, bwd, None, None
+            bs = build_tile_plan(dst, src, w, n_dst, n_src,
+                                 extra=shared, num_extra=n_shared, **kw)
+            bc = build_tile_plan(dst, shared, w, n_dst, n_shared,
+                                 extra=src, num_extra=n_src, **kw)
+            return fwd, bwd, bs, bc
 
-        up_p = up_pt = down_p = down_pt = b_p = b_pt = None
+        up_p = up_pt = up_bs = up_bc = None
+        down_p = down_pt = down_bs = down_bc = None
+        b_p = b_pt = pool_p = pool_pt = None
         if d.up_src.shape[0] > 0:
-            up_p, up_pt = plans(d.up_src, d.up_dst, d.up_mask, d.up_orient,
-                                n_k, n_k)
+            up_p, up_pt, up_bs, up_bc = plans(
+                d.up_src, d.up_dst, d.up_mask, d.up_orient, n_k, n_k,
+                shared=(d.up_cob if n_up > 0 else None), n_shared=n_up)
         if d.down_src.shape[0] > 0:
-            down_p, down_pt = plans(d.down_src, d.down_dst, d.down_mask,
-                                    d.down_orient, n_k, n_k)
+            down_p, down_pt, down_bs, down_bc = plans(
+                d.down_src, d.down_dst, d.down_mask, d.down_orient, n_k, n_k,
+                shared=(d.down_shared if n_dn > 0 else None), n_shared=n_dn)
         if k > 0 and d.b_src.shape[0] > 0:
-            b_p, b_pt = plans(d.b_src, d.b_dst, d.b_mask, None, n_dn, n_k)
+            b_p, b_pt, _, _ = plans(d.b_src, d.b_dst, d.b_mask, None,
+                                    n_dn, n_k)
+        if batch.batch_size > 1:
+            cells = np.arange(n_k, dtype=np.int64)
+            pool_p, pool_pt, _, _ = plans(cells, d.batch, d.cell_mask, None,
+                                          n_k, batch.batch_size)
 
-        new_dims.append(d.replace(up_plan=up_p, up_plan_t=up_pt,
-                                  down_plan=down_p, down_plan_t=down_pt,
-                                  b_plan=b_p, b_plan_t=b_pt))
+        new_dims.append(d.replace(
+            up_plan=up_p, up_plan_t=up_pt,
+            up_plan_bs=up_bs, up_plan_bc=up_bc,
+            down_plan=down_p, down_plan_t=down_pt,
+            down_plan_bs=down_bs, down_plan_bc=down_bc,
+            b_plan=b_p, b_plan_t=b_pt,
+            pool_plan=pool_p, pool_plan_t=pool_pt))
     return batch.replace(dims=tuple(new_dims))

@@ -20,10 +20,17 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from cwn_tpu.batch import ComplexBatch
-from cwn_tpu.mp import gather_down_attr, gather_up_attr, propagate
+from cwn_tpu.mp import (
+    fused_channel_usable,
+    fused_mlp_channel,
+    gather_down_attr,
+    gather_up_attr,
+    propagate,
+)
 from cwn_tpu.nn import (
     GraphNorm,
     Linear,
+    LinearParams,
     UpdateMLP,
     get_nonlinearity,
     pool_cells,
@@ -55,15 +62,30 @@ class SparseCINCochainConv(nn.Module):
         else:
             eps1 = eps2 = self.init_eps
 
+        fused_up = None
         if self.use_coboundaries:
-            if x_up is not None:
-                up_attr = gather_up_attr(buf, x_up)
+            kernel, bias = LinearParams(layer_dim, 2 * layer_dim,
+                                        name="msg_up")()
+            if (buf.up_src.shape[0] > 0 and fused_channel_usable(
+                    buf.up_plan, buf.up_plan_bs, buf.up_plan_bc, x, x_up,
+                    self.act)):
+                # Hot path: per-edge cat+Linear+act+segsum as one Pallas
+                # kernel per direction; no [E, F] tensor in HBM.
+                fused_up = fused_mlp_channel(
+                    x, x_up, kernel, bias, buf.up_plan, buf.up_plan_bs,
+                    buf.up_plan_bc, self.act, x.shape[0])
+                up_attr = None
+                message_up = None
             else:
-                up_attr = jnp.zeros((buf.up_src.shape[0], layer_dim), x.dtype)
-            msg_up_dense = Linear(layer_dim, name="msg_up")
+                if x_up is not None:
+                    up_attr = gather_up_attr(buf, x_up)
+                else:
+                    up_attr = jnp.zeros((buf.up_src.shape[0], layer_dim),
+                                        x.dtype)
 
-            def message_up(up_x_j, attr):
-                return act(msg_up_dense(jnp.concatenate([up_x_j, attr], axis=-1)))
+                def message_up(up_x_j, attr):
+                    pre = jnp.concatenate([up_x_j, attr], axis=-1) @ kernel
+                    return act(pre + bias)
         else:
             up_attr = None
 
@@ -75,6 +97,8 @@ class SparseCINCochainConv(nn.Module):
             message_up=message_up,
             message_boundary=(lambda b: b) if boundary_attr is not None else None,
             up_identity=not self.use_coboundaries, boundary_identity=True)
+        if fused_up is not None:
+            out_up = fused_up
 
         out_up = out_up + (1.0 + eps1) * x
         out_bnd = out_bnd + (1.0 + eps2) * x
@@ -118,19 +142,43 @@ class CINppCochainConv(nn.Module):
         else:
             eps1 = eps2 = eps3 = self.init_eps
 
+        fused_up = fused_down = None
         if self.use_coboundaries:
-            up_attr = (gather_up_attr(buf, x_up) if x_up is not None
-                       else jnp.zeros((buf.up_src.shape[0], layer_dim), x.dtype))
-            down_attr = (gather_down_attr(buf, x_down) if x_down is not None
-                         else jnp.zeros((buf.down_src.shape[0], layer_dim), x.dtype))
-            msg_up_dense = Linear(layer_dim, name="msg_up")
-            msg_down_dense = Linear(layer_dim, name="msg_down")
+            k_up, b_up = LinearParams(layer_dim, 2 * layer_dim,
+                                      name="msg_up")()
+            k_dn, b_dn = LinearParams(layer_dim, 2 * layer_dim,
+                                      name="msg_down")()
+            up_attr = down_attr = None
+            message_up = message_down = None
+            if (buf.up_src.shape[0] > 0 and fused_channel_usable(
+                    buf.up_plan, buf.up_plan_bs, buf.up_plan_bc, x, x_up,
+                    self.act)):
+                fused_up = fused_mlp_channel(
+                    x, x_up, k_up, b_up, buf.up_plan, buf.up_plan_bs,
+                    buf.up_plan_bc, self.act, x.shape[0])
+            else:
+                up_attr = (gather_up_attr(buf, x_up) if x_up is not None
+                           else jnp.zeros((buf.up_src.shape[0], layer_dim),
+                                          x.dtype))
 
-            def message_up(xj, attr):
-                return act(msg_up_dense(jnp.concatenate([xj, attr], axis=-1)))
+                def message_up(xj, attr):
+                    return act(jnp.concatenate([xj, attr], axis=-1) @ k_up
+                               + b_up)
+            if (buf.down_src.shape[0] > 0 and fused_channel_usable(
+                    buf.down_plan, buf.down_plan_bs, buf.down_plan_bc, x,
+                    x_down, self.act)):
+                fused_down = fused_mlp_channel(
+                    x, x_down, k_dn, b_dn, buf.down_plan, buf.down_plan_bs,
+                    buf.down_plan_bc, self.act, x.shape[0])
+            else:
+                down_attr = (gather_down_attr(buf, x_down)
+                             if x_down is not None
+                             else jnp.zeros((buf.down_src.shape[0],
+                                             layer_dim), x.dtype))
 
-            def message_down(xj, attr):
-                return act(msg_down_dense(jnp.concatenate([xj, attr], axis=-1)))
+                def message_down(xj, attr):
+                    return act(jnp.concatenate([xj, attr], axis=-1) @ k_dn
+                               + b_dn)
         else:
             up_attr = down_attr = None
 
@@ -147,6 +195,10 @@ class CINppCochainConv(nn.Module):
             message_boundary=(lambda b: b) if boundary_attr is not None else None,
             up_identity=not self.use_coboundaries,
             down_identity=not self.use_coboundaries, boundary_identity=True)
+        if fused_up is not None:
+            out_up = fused_up
+        if fused_down is not None:
+            out_down = fused_down
 
         out_up = out_up + (1.0 + eps1) * x
         out_down = out_down + (1.0 + eps2) * x

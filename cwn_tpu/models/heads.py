@@ -33,7 +33,9 @@ class CINReadoutHead(nn.Module):
         act = get_nonlinearity(self.nonlinearity)
         pooled = [
             pool_cells(xs[k], data.dims[k].batch, data.dims[k].cell_mask,
-                       data.batch_size, self.readout)
+                       data.batch_size, self.readout,
+                       plan=data.dims[k].pool_plan,
+                       plan_t=data.dims[k].pool_plan_t)
             for k in range(len(xs))
         ]
         sel = [pooled[i] for i in self.readout_dims]

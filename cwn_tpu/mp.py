@@ -47,6 +47,32 @@ def _identity_channel(x_source, plan, plan_t, n):
     return segment_spmm_ad(x_source, plan, plan_t)[:n]
 
 
+def fused_mlp_channel(x, x_shared, kernel, bias, plan, plan_bs, plan_bc,
+                      act: str, n: int):
+    """Fused non-identity channel: segsum_dst(act(W [x_j ; attr] + b)).
+
+    Splits the message Linear into two dense cell-level matmuls and runs
+    the per-edge gather+act+segment-sum as one Pallas kernel per direction
+    (see cwn_tpu.ops.pallas_segment.fused_message_spmm).  Exactly the
+    reference's `msg_up_nn(cat[up_x_j, up_attr])` message
+    (/root/reference/mp/layers.py:184-189) with the [E, F] intermediates
+    never leaving VMEM."""
+    from cwn_tpu.ops.pallas_segment import fused_message_spmm
+    f = x.shape[-1]
+    xs = x @ kernel[:f]
+    xu = x_shared @ kernel[f:]
+    return fused_message_spmm(xs, xu, bias, plan, plan_bs, plan_bc, act)[:n]
+
+
+def fused_channel_usable(buf_plan, buf_plan_bs, buf_plan_bc, x, x_shared,
+                         act: str) -> bool:
+    from cwn_tpu.ops.pallas_segment import FUSED_ACTS
+    return (buf_plan is not None and buf_plan_bs is not None
+            and buf_plan_bc is not None and x_shared is not None
+            and x.dtype == jnp.float32 and x_shared.dtype == jnp.float32
+            and act in FUSED_ACTS)
+
+
 def _plan_usable(plan, x):
     """Kernel path requires f32 (the fp64 SR path keeps the XLA oracle)."""
     return plan is not None and x.dtype == jnp.float32

@@ -59,6 +59,29 @@ class Linear(nn.Module):
         return y
 
 
+class LinearParams(nn.Module):
+    """Declares Linear-compatible params (same names/shapes/inits as
+    `Linear`) without applying them — for fused kernels that consume the
+    weights directly.  Checkpoint trees stay interchangeable with Linear."""
+
+    features: int
+    fan_in: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_linear_kernel_init,
+                            (self.fan_in, self.features))
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda key, shape: torch_linear_bias_init(
+                    key, shape, fan_in=self.fan_in),
+                (self.features,))
+        return kernel, bias
+
+
 class Embedding(nn.Module):
     """Embedding table with torch default init N(0, 1)."""
 
@@ -220,11 +243,24 @@ class UpdateMLP(nn.Module):
 
 
 def pool_cells(x: jnp.ndarray, batch: jnp.ndarray, cell_mask: jnp.ndarray,
-               batch_size: int, readout: str = "sum") -> jnp.ndarray:
+               batch_size: int, readout: str = "sum",
+               plan=None, plan_t=None) -> jnp.ndarray:
     """Pool cell features per complex; padded cells land in a trash segment.
 
     Parity with global_add_pool/global_mean_pool with explicit size
-    (/root/reference/mp/nn.py:50-60)."""
+    (/root/reference/mp/nn.py:50-60).  When the batch carries a pooling
+    tile plan (and dtype is f32), the segment sum runs as a Pallas one-hot
+    SpMM instead of an XLA scatter."""
+    if plan is not None and x.dtype == jnp.float32:
+        from cwn_tpu.ops.pallas_segment import segment_spmm_ad
+        out = segment_spmm_ad(x, plan, plan_t)[:batch_size]
+        if readout == "mean":
+            counts = segment_sum(cell_mask[:, None], batch, batch_size + 1,
+                                 indices_are_sorted=True)[:batch_size]
+            out = out / jnp.maximum(counts, 1.0)
+        elif readout != "sum":
+            raise NotImplementedError(f"Readout {readout} is not supported")
+        return out
     if readout == "sum":
         out = segment_sum(x, batch, batch_size + 1, mask=cell_mask,
                           indices_are_sorted=True)

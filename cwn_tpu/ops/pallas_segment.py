@@ -180,3 +180,307 @@ def _spmm_bwd(res, g):
 
 
 segment_spmm_ad.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused two-sided message kernel.
+#
+# The non-identity CIN message (the headline config's hot path,
+# /root/reference/mp/layers.py:184-189 `msg_up_nn(cat[up_x_j, up_attr])`)
+# decomposes as
+#
+#     msg_e = act( xs[src_e] + xu[cob_e] + bias ),   out[dst] = sum msg_e
+#
+# with xs = x @ W1 and xu = x_up @ W2 computed as dense MXU matmuls over
+# CELLS (not edges).  The per-edge part then runs entirely in VMEM: two
+# one-hot gather matmuls, a VPU bias+activation, and a one-hot scatter
+# matmul — no [E, F] tensor ever touches HBM, and no XLA scatter appears
+# in either direction of the differentiation.
+#
+# Backward recomputes the pre-activation instead of storing it: for each
+# target side t in {src, cob} a plan sorted by t gathers g by dst and the
+# *other* side by its pointer (both window streams), while the t-side
+# values are gathered from the output block itself (block-side one-hot).
+# ---------------------------------------------------------------------------
+
+
+def _act_fn(name):
+    if name == "relu":
+        return lambda v: jnp.maximum(v, 0.0)
+    if name == "id":
+        return lambda v: v
+    raise NotImplementedError(f"fused kernel act {name}")
+
+
+def _dact_fn(name):
+    if name == "relu":
+        return lambda v: (v > 0).astype(v.dtype)
+    if name == "id":
+        return lambda v: jnp.ones_like(v)
+    raise NotImplementedError(f"fused kernel act {name}")
+
+
+FUSED_ACTS = ("relu", "id")
+
+
+def _fused_fwd_body(t, blk_ref, srel_ref, erel_ref, drel_ref, mask_ref,
+                    bias_ref, out_ref, xs_get, xu_get, *, tile, window,
+                    block, act):
+    srel = srel_ref[0, 0, :]
+    erel = erel_ref[0, 0, :]
+    drel = drel_ref[0, 0, :]
+    w = mask_ref[0, 0, :]
+
+    prev = blk_ref[jnp.maximum(t - 1, 0)]
+    first = jnp.logical_or(t == 0, blk_ref[t] != prev)
+    has_edges = jnp.any(w != 0)
+
+    @pl.when(first)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(has_edges)
+    def _():
+        oh_s = (jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
+                == srel[:, None]).astype(jnp.bfloat16)
+        oh_e = (jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
+                == erel[:, None]).astype(jnp.bfloat16)
+        oh_d = (jax.lax.broadcasted_iota(jnp.int32, (block, tile), 0)
+                == drel[None, :]).astype(jnp.bfloat16)
+        pre = (_exact_onehot_dot(oh_s, xs_get())
+               + _exact_onehot_dot(oh_e, xu_get())
+               + bias_ref[0, :][None, :])
+        msg = _act_fn(act)(pre) * w[:, None]
+        out_ref[...] = out_ref[...] + _exact_onehot_dot(oh_d, msg)
+
+
+def _fused_bwd_body(t, blk_ref, grel_ref, erel_ref, drel_ref, mask_ref,
+                    bias_ref, xblk_ref, out_ref, g_get, xw_get, *, tile,
+                    window, block, act):
+    grel = grel_ref[0, 0, :]
+    erel = erel_ref[0, 0, :]
+    drel = drel_ref[0, 0, :]
+    w = mask_ref[0, 0, :]
+
+    prev = blk_ref[jnp.maximum(t - 1, 0)]
+    first = jnp.logical_or(t == 0, blk_ref[t] != prev)
+    has_edges = jnp.any(w != 0)
+
+    @pl.when(first)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(has_edges)
+    def _():
+        oh_g = (jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
+                == grel[:, None]).astype(jnp.bfloat16)
+        oh_e = (jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
+                == erel[:, None]).astype(jnp.bfloat16)
+        oh_b = (jax.lax.broadcasted_iota(jnp.int32, (tile, block), 1)
+                == drel[:, None]).astype(jnp.bfloat16)
+        oh_d = (jax.lax.broadcasted_iota(jnp.int32, (block, tile), 0)
+                == drel[None, :]).astype(jnp.bfloat16)
+        ge = _exact_onehot_dot(oh_g, g_get())
+        other = _exact_onehot_dot(oh_e, xw_get())
+        mine = _exact_onehot_dot(oh_b, xblk_ref[...])
+        pre = mine + other + bias_ref[0, :][None, :]
+        dpre = _dact_fn(act)(pre) * w[:, None] * ge
+        out_ref[...] = out_ref[...] + _exact_onehot_dot(oh_d, dpre)
+
+
+def _pad_rows(x, n):
+    if x.shape[0] < n:
+        x = jnp.pad(x, ((0, n - x.shape[0]), (0, 0)))
+    return x
+
+
+def fused_message_fwd(xs: jnp.ndarray, xu: jnp.ndarray, bias: jnp.ndarray,
+                      plan: TilePlan, act: str = "relu",
+                      interpret: bool = False) -> jnp.ndarray:
+    """out[d] = sum_{e: dst=d} mask_e * act(xs[src_e] + xu[extra_e] + bias)."""
+    assert plan.extra_rel is not None, "plan must carry the extra stream"
+    tile, window, block = plan.tile, plan.window, plan.block
+    feat = xs.shape[-1]
+    xs = _pad_rows(xs.astype(jnp.float32), plan.num_src)
+    xu = _pad_rows(xu.astype(jnp.float32), plan.num_extra)
+    bias2 = jnp.reshape(bias.astype(jnp.float32), (1, feat))
+    n_tiles = plan.num_tiles
+    interpret = interpret or _FORCE_INTERPRET
+    resident = (plan.num_src + plan.num_extra) * feat * 4 <= _X_VMEM_LIMIT
+
+    tile_spec = pl.BlockSpec((1, 1, tile), lambda t, w, e, b: (t, 0, 0),
+                             memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    if resident:
+        def kernel(win_ref, ewin_ref, blk_ref, srel, erel, drel, mask,
+                   bias_ref, xs_ref, xu_ref, out_ref):
+            t = pl.program_id(0)
+            w0, e0 = win_ref[t], ewin_ref[t]
+            _fused_fwd_body(t, blk_ref, srel, erel, drel, mask, bias_ref,
+                            out_ref,
+                            lambda: xs_ref[pl.ds(w0, window), :],
+                            lambda: xu_ref[pl.ds(e0, window), :],
+                            tile=tile, window=window, block=block, act=act)
+        x_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        scratch = []
+    else:
+        def kernel(win_ref, ewin_ref, blk_ref, srel, erel, drel, mask,
+                   bias_ref, xs_ref, xu_ref, out_ref, swin, ewin, sem1, sem2):
+            t = pl.program_id(0)
+            w0, e0 = win_ref[t], ewin_ref[t]
+            cp1 = pltpu.make_async_copy(
+                xs_ref.at[pl.ds(w0, window), :], swin, sem1)
+            cp2 = pltpu.make_async_copy(
+                xu_ref.at[pl.ds(e0, window), :], ewin, sem2)
+            cp1.start()
+            cp2.start()
+            cp1.wait()
+            cp2.wait()
+            _fused_fwd_body(t, blk_ref, srel, erel, drel, mask, bias_ref,
+                            out_ref, lambda: swin[...], lambda: ewin[...],
+                            tile=tile, window=window, block=block, act=act)
+        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = [pltpu.VMEM((window, feat), jnp.float32),
+                   pltpu.VMEM((window, feat), jnp.float32),
+                   pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[tile_spec, tile_spec, tile_spec, tile_spec, bias_spec,
+                  x_spec, x_spec],
+        out_specs=pl.BlockSpec((block, feat), lambda t, w, e, b: (b[t], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.num_dst, feat), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_tiles * (2 * tile * window + tile * block) * feat,
+            bytes_accessed=n_tiles * (2 * window + block) * feat * 4,
+            transcendentals=0),
+    )(plan.win_start, plan.extra_start, plan.out_block,
+      plan.src_rel, plan.extra_rel, plan.dst_rel, plan.mask,
+      bias2, xs, xu)
+
+
+def fused_message_bwd(g: jnp.ndarray, x_mine: jnp.ndarray,
+                      x_other: jnp.ndarray, bias: jnp.ndarray,
+                      plan: TilePlan, act: str = "relu",
+                      interpret: bool = False) -> jnp.ndarray:
+    """d x_mine for the fused message op.
+
+    `plan` is sorted by the *mine* side: its window stream gathers g (by
+    the forward dst), its extra stream gathers x_other, and its out blocks
+    cover the mine rows — whose values are gathered block-side to
+    recompute the pre-activation."""
+    assert plan.extra_rel is not None
+    tile, window, block = plan.tile, plan.window, plan.block
+    feat = g.shape[-1]
+    g = _pad_rows(g.astype(jnp.float32), plan.num_src)
+    x_other = _pad_rows(x_other.astype(jnp.float32), plan.num_extra)
+    x_mine = _pad_rows(x_mine.astype(jnp.float32), plan.num_dst)
+    bias2 = jnp.reshape(bias.astype(jnp.float32), (1, feat))
+    n_tiles = plan.num_tiles
+    interpret = interpret or _FORCE_INTERPRET
+    resident = (plan.num_src + plan.num_extra) * feat * 4 <= _X_VMEM_LIMIT
+
+    tile_spec = pl.BlockSpec((1, 1, tile), lambda t, w, e, b: (t, 0, 0),
+                             memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    blkside_spec = pl.BlockSpec((block, feat), lambda t, w, e, b: (b[t], 0),
+                                memory_space=pltpu.VMEM)
+
+    if resident:
+        def kernel(win_ref, ewin_ref, blk_ref, grel, erel, drel, mask,
+                   bias_ref, xblk_ref, g_ref, xo_ref, out_ref):
+            t = pl.program_id(0)
+            w0, e0 = win_ref[t], ewin_ref[t]
+            _fused_bwd_body(t, blk_ref, grel, erel, drel, mask, bias_ref,
+                            xblk_ref, out_ref,
+                            lambda: g_ref[pl.ds(w0, window), :],
+                            lambda: xo_ref[pl.ds(e0, window), :],
+                            tile=tile, window=window, block=block, act=act)
+        x_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        scratch = []
+    else:
+        def kernel(win_ref, ewin_ref, blk_ref, grel, erel, drel, mask,
+                   bias_ref, xblk_ref, g_ref, xo_ref, out_ref,
+                   gwin, owin, sem1, sem2):
+            t = pl.program_id(0)
+            w0, e0 = win_ref[t], ewin_ref[t]
+            cp1 = pltpu.make_async_copy(
+                g_ref.at[pl.ds(w0, window), :], gwin, sem1)
+            cp2 = pltpu.make_async_copy(
+                xo_ref.at[pl.ds(e0, window), :], owin, sem2)
+            cp1.start()
+            cp2.start()
+            cp1.wait()
+            cp2.wait()
+            _fused_bwd_body(t, blk_ref, grel, erel, drel, mask, bias_ref,
+                            xblk_ref, out_ref, lambda: gwin[...],
+                            lambda: owin[...],
+                            tile=tile, window=window, block=block, act=act)
+        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = [pltpu.VMEM((window, feat), jnp.float32),
+                   pltpu.VMEM((window, feat), jnp.float32),
+                   pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[tile_spec, tile_spec, tile_spec, tile_spec, bias_spec,
+                  blkside_spec, x_spec, x_spec],
+        out_specs=pl.BlockSpec((block, feat), lambda t, w, e, b: (b[t], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.num_dst, feat), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_tiles * (2 * tile * window + 3 * tile * block) * feat,
+            bytes_accessed=n_tiles * (2 * window + 2 * block) * feat * 4,
+            transcendentals=0),
+    )(plan.win_start, plan.extra_start, plan.out_block,
+      plan.src_rel, plan.extra_rel, plan.dst_rel, plan.mask,
+      bias2, x_mine, g, x_other)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def fused_message_spmm(xs, xu, bias, fwd_plan: TilePlan,
+                       bwd_src_plan: TilePlan, bwd_extra_plan: TilePlan,
+                       act: str = "relu"):
+    """Differentiable fused message channel (see fused_message_fwd).
+
+    bwd_src_plan: edges sorted by src (window: dst for g; extra: the
+    coboundary pointer).  bwd_extra_plan: sorted by the coboundary pointer
+    (window: dst; extra: src)."""
+    return fused_message_fwd(xs, xu, bias, fwd_plan, act=act)
+
+
+def _fused_fwd_rule(xs, xu, bias, fwd_plan, bwd_src_plan, bwd_extra_plan,
+                    act):
+    out = fused_message_fwd(xs, xu, bias, fwd_plan, act=act)
+    return out, (xs, xu, bias, bwd_src_plan, bwd_extra_plan,
+                 xs.shape[0], xu.shape[0])
+
+
+def _fused_bwd_rule(act, res, g):
+    xs, xu, bias, bwd_s, bwd_e, n_s, n_u = res
+    dxs = fused_message_bwd(g, xs, xu, bias, bwd_s, act=act)
+    dxu = fused_message_bwd(g, xu, xs, bias, bwd_e, act=act)
+    # sum_e d_pre_e lands once in each side's scatter; read it off dxs.
+    dbias = jnp.sum(dxs, axis=0)
+    return dxs[:n_s], dxu[:n_u], dbias, None, None, None
+
+
+fused_message_spmm.defvjp(_fused_fwd_rule, _fused_bwd_rule)

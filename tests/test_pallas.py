@@ -83,3 +83,104 @@ def test_model_equivalence_with_plans():
     o1 = np.asarray(model.apply(vs, batch, train=False))
     o2 = np.asarray(model.apply(vs, batch_p, train=False))
     assert np.allclose(o1, o2, atol=1e-4)
+
+
+def _random_two_sided(seed, n_src=300, n_cob=120, n_dst=280, e=1500, f=32):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_src, e)
+    dst = np.sort(rng.integers(0, n_dst, e))
+    cob = rng.integers(0, n_cob, e)
+    w = (rng.random(e) < 0.9).astype(np.float32)
+    xs = rng.normal(size=(n_src, f)).astype(np.float32)
+    xu = rng.normal(size=(n_cob, f)).astype(np.float32)
+    bias = rng.normal(size=(f,)).astype(np.float32)
+    return src, dst, cob, w, xs, xu, bias
+
+
+@pytest.mark.parametrize("act", ["relu", "id"])
+def test_fused_message_matches_oracle(act):
+    from cwn_tpu.ops.pallas_segment import fused_message_spmm
+    src, dst, cob, w, xs, xu, bias = _random_two_sided(0)
+    n_src, n_cob, n_dst = xs.shape[0], xu.shape[0], 280
+    kw = dict(tile=128, window=512, block=128)
+    fwd = build_tile_plan(src, dst, w, n_src, n_dst, extra=cob,
+                          num_extra=n_cob, **kw)
+    bs = build_tile_plan(dst, src, w, n_dst, n_src, extra=cob,
+                         num_extra=n_cob, **kw)
+    bc = build_tile_plan(dst, cob, w, n_dst, n_cob, extra=src,
+                         num_extra=n_src, **kw)
+    got = np.asarray(fused_message_spmm(
+        jnp.asarray(xs), jnp.asarray(xu), jnp.asarray(bias),
+        fwd, bs, bc, act))[:n_dst]
+    pre = xs[src] + xu[cob] + bias
+    msg = (np.maximum(pre, 0) if act == "relu" else pre) * w[:, None]
+    want = np.zeros((n_dst, xs.shape[1]), np.float32)
+    np.add.at(want, dst, msg)
+    assert np.allclose(got, want, atol=1e-4)
+
+
+def test_fused_message_gradients():
+    from cwn_tpu.ops.pallas_segment import fused_message_spmm
+    src, dst, cob, w, xs, xu, bias = _random_two_sided(1)
+    n_src, n_cob, n_dst = xs.shape[0], xu.shape[0], 280
+    kw = dict(tile=128, window=512, block=128)
+    fwd = build_tile_plan(src, dst, w, n_src, n_dst, extra=cob,
+                          num_extra=n_cob, **kw)
+    bs = build_tile_plan(dst, src, w, n_dst, n_src, extra=cob,
+                         num_extra=n_cob, **kw)
+    bc = build_tile_plan(dst, cob, w, n_dst, n_cob, extra=src,
+                         num_extra=n_src, **kw)
+
+    def loss(args):
+        a, b, c = args
+        return (fused_message_spmm(a, b, c, fwd, bs, bc, "relu")[:n_dst]
+                ** 2).sum()
+
+    def loss_ref(args):
+        a, b, c = args
+        pre = a[src] + b[cob] + c
+        msg = jnp.maximum(pre, 0) * w[:, None]
+        out = jnp.zeros((n_dst, a.shape[1])).at[dst].add(msg)
+        return (out ** 2).sum()
+
+    args = (jnp.asarray(xs), jnp.asarray(xu), jnp.asarray(bias))
+    got = jax.grad(loss)(args)
+    want = jax.grad(loss_ref)(args)
+    for g, r in zip(got, want):
+        assert np.allclose(np.asarray(g), np.asarray(r), atol=1e-2)
+
+
+def test_coboundary_model_equivalence_with_plans():
+    """EmbedSparseCIN (fused coboundary path) == oracle path, fwd + grads."""
+    from cwn_tpu.models.molec import EmbedSparseCIN
+    # Random (not constant) types: constant features make BN variance ~0,
+    # whose gradient amplifies f32 reorder noise unboundedly.
+    rng = np.random.default_rng(7)
+    complexes = [ring_2complex(
+        rng.integers(0, 4, (g.num_nodes, 1)), g.edge_index,
+        ((g.edge_index[0] + g.edge_index[1]) % 4)[:, None], g.num_nodes,
+        y=g.y, max_k=7) for g in all_test_graphs()]
+    batch = pack_complexes(complexes, max_dim=2, pad_multiple=32)
+    batch_p = add_tile_plans(batch, tile=128, window=128, block=128)
+    model = EmbedSparseCIN(atom_types=4, bond_types=4, out_size=2,
+                           num_layers=2, hidden=16, dropout_rate=0.0,
+                           max_dim=2, use_coboundaries=True, embed_edge=True)
+    vs = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+    o1 = np.asarray(model.apply(vs, batch, train=False))
+    o2 = np.asarray(model.apply(vs, batch_p, train=False))
+    assert np.allclose(o1, o2, atol=1e-4)
+
+    def loss(p, b):
+        out = model.apply({"params": p, "batch_stats": vs["batch_stats"]},
+                          b, train=True,
+                          rngs={"dropout": jax.random.PRNGKey(0)},
+                          mutable=["batch_stats"])[0]
+        return (out ** 2).sum()
+
+    g1 = jax.tree.leaves(jax.grad(loss)(vs["params"], batch))
+    g2 = jax.tree.leaves(jax.grad(loss)(vs["params"], batch_p))
+    # rtol-dominated: f32 accumulation-order differences get amplified by
+    # the gradient through train-mode batch statistics.
+    for a, b in zip(g1, g2):
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                           atol=5e-3)
