@@ -70,7 +70,12 @@ def main():
 
     y = jnp.asarray(np.asarray(batch.y, np.float32))
 
-    @jax.jit
+    import functools
+
+    # Donating the carried state lets XLA update params/opt-state in place;
+    # without it every step pays an extra device-to-device copy of the full
+    # model + Adam state (~3x step time behind the device tunnel).
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, batch_stats, opt_state, batch):
         def loss_fn(p):
             out, mut = model.apply(

@@ -12,6 +12,7 @@ the LR reaches the compiled step through optax.inject_hyperparams.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Callable, Dict, List, Optional
 
@@ -194,7 +195,10 @@ class Trainer:
     def _build_steps(self):
         model, loss_fn = self.model, self.loss_fn
 
-        @jax.jit
+        # Donate the carried state: XLA then aliases params/opt-state
+        # buffers across steps instead of copying them (the copy costs
+        # ~3x the compute on small models).
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def train_step(params, batch_stats, opt_state, batch, rng, lr):
             def loss_of(p):
                 out, mut = model.apply(
