@@ -93,13 +93,17 @@ def main():
     params, batch_stats, opt_state, loss = step(params, batch_stats, opt_state, batch)
     jax.block_until_ready(loss)
 
+    # Best of 3 windows: the chip is shared/tunneled, single windows are
+    # noisy (+-50%).
     iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        params, batch_stats, opt_state, loss = step(
-            params, batch_stats, opt_state, batch)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, batch_stats, opt_state, loss = step(
+                params, batch_stats, opt_state, batch)
+        jax.block_until_ready(loss)
+        dt = min(dt, time.perf_counter() - t0)
 
     edges_per_s = msgs_per_step * iters / dt
     print(json.dumps({

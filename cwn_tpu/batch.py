@@ -370,11 +370,20 @@ def pack_complexes(complexes: Sequence[Complex], max_dim: int,
 
 
 def add_tile_plans(batch: ComplexBatch, tile: int = 256, window: int = 256,
-                   block: int = 256) -> ComplexBatch:
+                   block: int = 256,
+                   precision: str = "high") -> ComplexBatch:
     """Attach Pallas SpMM tile plans (forward + transpose) to every
     adjacency of the batch.  Orientation weights, when present, are folded
-    into the plan weights (message = orient * x_src)."""
-    from cwn_tpu.ops.tiles import build_tile_plan
+    into the plan weights (message = orient * x_src).
+
+    precision: bf16 MXU passes for the kernels' value operand —
+    "default" (1 pass, XLA's f32-matmul default on TPU), "high"
+    (2 passes, ~2^-17 relative error; the framework default), or
+    "exact"/"highest" (3 passes, full f32 accuracy for parity tests)."""
+    from cwn_tpu.ops.tiles import PRECISION_PASSES, build_tile_plan_auto \
+        as build_tile_plan
+
+    passes = PRECISION_PASSES[precision]
 
     new_dims = []
     for k, d in enumerate(batch.dims):
@@ -388,7 +397,7 @@ def add_tile_plans(batch: ComplexBatch, tile: int = 256, window: int = 256,
             """Identity fwd/transpose plans + (when `shared` is given) the
             two fused-message backward plans (sorted by src / by shared)."""
             w = mask if orient is None else mask * orient
-            kw = dict(tile=tile, window=window, block=block)
+            kw = dict(tile=tile, window=window, block=block, passes=passes)
             fwd = build_tile_plan(src, dst, w, n_src, n_dst,
                                   extra=shared, num_extra=n_shared, **kw)
             bwd = build_tile_plan(dst, src, w, n_dst, n_src, **kw)

@@ -44,28 +44,33 @@ def set_interpret(value: bool):
     _FORCE_INTERPRET = bool(value)
 
 
-def _split3(v):
-    """f32 -> three bf16 terms summing (in f32) to v exactly to ~2^-24."""
-    h1 = v.astype(jnp.bfloat16)
-    r1 = v - h1.astype(jnp.float32)
-    h2 = r1.astype(jnp.bfloat16)
-    r2 = r1 - h2.astype(jnp.float32)
-    h3 = r2.astype(jnp.bfloat16)
-    return h1, h2, h3
+def _split_bf16(v, passes):
+    """f32 -> `passes` bf16 terms summing (in f32) to v with relative error
+    ~2^(-8*passes): 1 = bf16 rounding (XLA's default f32-matmul precision on
+    TPU), 2 ~ 2^-17, 3 = exact to f32 (~2^-24)."""
+    terms = []
+    r = v
+    for _ in range(passes):
+        h = r.astype(jnp.bfloat16)
+        terms.append(h)
+        r = r - h.astype(jnp.float32)
+    return terms
 
 
-def _exact_onehot_dot(onehot_bf16, v):
-    """onehot @ v with f32 accuracy via 3 native bf16 MXU passes.
+def _onehot_dot(onehot_bf16, v, passes=3):
+    """onehot @ v via `passes` native bf16 MXU passes; f32 accumulate.
 
-    The one-hot operand is exact in bf16, so only v needs splitting — this
-    matches Precision.HIGHEST accuracy at half the passes."""
-    t1, t2, t3 = _split3(v)
+    The one-hot operand is exact in bf16, so only v needs splitting — at
+    passes=3 this matches Precision.HIGHEST accuracy at half the passes."""
     d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-    return d(onehot_bf16, t1) + d(onehot_bf16, t2) + d(onehot_bf16, t3)
+    out = None
+    for t in _split_bf16(v, passes):
+        out = d(onehot_bf16, t) if out is None else out + d(onehot_bf16, t)
+    return out
 
 
 def _body(t, blk_ref, srcrel_ref, dstrel_ref, mask_ref, out_ref,
-          xwin_get, *, tile, window, block):
+          xwin_get, *, tile, window, block, passes):
     srcrel = srcrel_ref[0, 0, :]
     dstrel = dstrel_ref[0, 0, :]
     weight = mask_ref[0, 0, :]
@@ -86,29 +91,30 @@ def _body(t, blk_ref, srcrel_ref, dstrel_ref, mask_ref, out_ref,
                     == dstrel[None, :]).astype(jnp.bfloat16)
         # Per-edge weights applied AFTER the gather matmul (msg row e is
         # x[src[e]]), keeping the one-hot operands exactly representable.
-        msg = _exact_onehot_dot(onehot_s, xwin_get()) * weight[:, None]
-        contrib = _exact_onehot_dot(onehot_d, msg)
+        msg = _onehot_dot(onehot_s, xwin_get(), passes) * weight[:, None]
+        contrib = _onehot_dot(onehot_d, msg, passes)
         out_ref[...] = out_ref[...] + contrib
 
 
 def _kernel_vmem(win_ref, blk_ref, srcrel_ref, dstrel_ref, mask_ref,
-                 x_ref, out_ref, *, tile, window, block):
+                 x_ref, out_ref, *, tile, window, block, passes):
     t = pl.program_id(0)
     w0 = win_ref[t]
     _body(t, blk_ref, srcrel_ref, dstrel_ref, mask_ref, out_ref,
           lambda: x_ref[pl.ds(w0, window), :],
-          tile=tile, window=window, block=block)
+          tile=tile, window=window, block=block, passes=passes)
 
 
 def _kernel_hbm(win_ref, blk_ref, srcrel_ref, dstrel_ref, mask_ref,
-                x_ref, out_ref, xwin, sem, *, tile, window, block):
+                x_ref, out_ref, xwin, sem, *, tile, window, block, passes):
     t = pl.program_id(0)
     w0 = win_ref[t]
     cp = pltpu.make_async_copy(x_ref.at[pl.ds(w0, window), :], xwin, sem)
     cp.start()
     cp.wait()
     _body(t, blk_ref, srcrel_ref, dstrel_ref, mask_ref, out_ref,
-          lambda: xwin[...], tile=tile, window=window, block=block)
+          lambda: xwin[...], tile=tile, window=window, block=block,
+          passes=passes)
 
 
 def segment_spmm(x: jnp.ndarray, plan: TilePlan,
@@ -119,6 +125,8 @@ def segment_spmm(x: jnp.ndarray, plan: TilePlan,
     padded; callers slice)."""
     tile, window, block = plan.tile, plan.window, plan.block
     feat = x.shape[-1]
+    if plan.empty:
+        return jnp.zeros((plan.num_dst, feat), jnp.float32)
     if x.shape[0] < plan.num_src:
         x = jnp.pad(x, ((0, plan.num_src - x.shape[0]), (0, 0)))
     n_tiles = plan.num_tiles
@@ -129,12 +137,12 @@ def segment_spmm(x: jnp.ndarray, plan: TilePlan,
                              memory_space=pltpu.VMEM)
     if x_resident:
         kernel = functools.partial(_kernel_vmem, tile=tile, window=window,
-                                   block=block)
+                                   block=block, passes=plan.passes)
         x_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
         scratch = []
     else:
         kernel = functools.partial(_kernel_hbm, tile=tile, window=window,
-                                   block=block)
+                                   block=block, passes=plan.passes)
         x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
         scratch = [pltpu.VMEM((window, feat), jnp.float32),
                    pltpu.SemaphoreType.DMA]
@@ -154,7 +162,8 @@ def segment_spmm(x: jnp.ndarray, plan: TilePlan,
         out_shape=jax.ShapeDtypeStruct((plan.num_dst, feat), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_tiles * (tile * window + tile * block) * feat,
+            flops=2 * n_tiles * plan.passes * (tile * window + tile * block)
+            * feat,
             bytes_accessed=n_tiles * (window + block) * feat * 4,
             transcendentals=0),
     )(plan.win_start, plan.out_block, plan.src_rel, plan.dst_rel,
@@ -225,7 +234,7 @@ FUSED_ACTS = ("relu", "id")
 
 def _fused_fwd_body(t, blk_ref, srel_ref, erel_ref, drel_ref, mask_ref,
                     bias_ref, out_ref, xs_get, xu_get, *, tile, window,
-                    block, act):
+                    block, act, passes):
     srel = srel_ref[0, 0, :]
     erel = erel_ref[0, 0, :]
     drel = drel_ref[0, 0, :]
@@ -247,16 +256,16 @@ def _fused_fwd_body(t, blk_ref, srel_ref, erel_ref, drel_ref, mask_ref,
                 == erel[:, None]).astype(jnp.bfloat16)
         oh_d = (jax.lax.broadcasted_iota(jnp.int32, (block, tile), 0)
                 == drel[None, :]).astype(jnp.bfloat16)
-        pre = (_exact_onehot_dot(oh_s, xs_get())
-               + _exact_onehot_dot(oh_e, xu_get())
+        pre = (_onehot_dot(oh_s, xs_get(), passes)
+               + _onehot_dot(oh_e, xu_get(), passes)
                + bias_ref[0, :][None, :])
         msg = _act_fn(act)(pre) * w[:, None]
-        out_ref[...] = out_ref[...] + _exact_onehot_dot(oh_d, msg)
+        out_ref[...] = out_ref[...] + _onehot_dot(oh_d, msg, passes)
 
 
 def _fused_bwd_body(t, blk_ref, grel_ref, erel_ref, drel_ref, mask_ref,
                     bias_ref, xblk_ref, out_ref, g_get, xw_get, *, tile,
-                    window, block, act):
+                    window, block, act, passes):
     grel = grel_ref[0, 0, :]
     erel = erel_ref[0, 0, :]
     drel = drel_ref[0, 0, :]
@@ -280,12 +289,12 @@ def _fused_bwd_body(t, blk_ref, grel_ref, erel_ref, drel_ref, mask_ref,
                 == drel[:, None]).astype(jnp.bfloat16)
         oh_d = (jax.lax.broadcasted_iota(jnp.int32, (block, tile), 0)
                 == drel[None, :]).astype(jnp.bfloat16)
-        ge = _exact_onehot_dot(oh_g, g_get())
-        other = _exact_onehot_dot(oh_e, xw_get())
-        mine = _exact_onehot_dot(oh_b, xblk_ref[...])
+        ge = _onehot_dot(oh_g, g_get(), passes)
+        other = _onehot_dot(oh_e, xw_get(), passes)
+        mine = _onehot_dot(oh_b, xblk_ref[...], passes)
         pre = mine + other + bias_ref[0, :][None, :]
         dpre = _dact_fn(act)(pre) * w[:, None] * ge
-        out_ref[...] = out_ref[...] + _exact_onehot_dot(oh_d, dpre)
+        out_ref[...] = out_ref[...] + _onehot_dot(oh_d, dpre, passes)
 
 
 def _pad_rows(x, n):
@@ -301,6 +310,8 @@ def fused_message_fwd(xs: jnp.ndarray, xu: jnp.ndarray, bias: jnp.ndarray,
     assert plan.extra_rel is not None, "plan must carry the extra stream"
     tile, window, block = plan.tile, plan.window, plan.block
     feat = xs.shape[-1]
+    if plan.empty:
+        return jnp.zeros((plan.num_dst, feat), jnp.float32)
     xs = _pad_rows(xs.astype(jnp.float32), plan.num_src)
     xu = _pad_rows(xu.astype(jnp.float32), plan.num_extra)
     bias2 = jnp.reshape(bias.astype(jnp.float32), (1, feat))
@@ -321,7 +332,8 @@ def fused_message_fwd(xs: jnp.ndarray, xu: jnp.ndarray, bias: jnp.ndarray,
                             out_ref,
                             lambda: xs_ref[pl.ds(w0, window), :],
                             lambda: xu_ref[pl.ds(e0, window), :],
-                            tile=tile, window=window, block=block, act=act)
+                            tile=tile, window=window, block=block, act=act,
+                            passes=plan.passes)
         x_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
         scratch = []
     else:
@@ -339,7 +351,8 @@ def fused_message_fwd(xs: jnp.ndarray, xu: jnp.ndarray, bias: jnp.ndarray,
             cp2.wait()
             _fused_fwd_body(t, blk_ref, srel, erel, drel, mask, bias_ref,
                             out_ref, lambda: swin[...], lambda: ewin[...],
-                            tile=tile, window=window, block=block, act=act)
+                            tile=tile, window=window, block=block, act=act,
+                            passes=plan.passes)
         x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
         scratch = [pltpu.VMEM((window, feat), jnp.float32),
                    pltpu.VMEM((window, feat), jnp.float32),
@@ -361,7 +374,8 @@ def fused_message_fwd(xs: jnp.ndarray, xu: jnp.ndarray, bias: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((plan.num_dst, feat), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_tiles * (2 * tile * window + tile * block) * feat,
+            flops=2 * n_tiles * plan.passes
+            * (2 * tile * window + tile * block) * feat,
             bytes_accessed=n_tiles * (2 * window + block) * feat * 4,
             transcendentals=0),
     )(plan.win_start, plan.extra_start, plan.out_block,
@@ -382,6 +396,8 @@ def fused_message_bwd(g: jnp.ndarray, x_mine: jnp.ndarray,
     assert plan.extra_rel is not None
     tile, window, block = plan.tile, plan.window, plan.block
     feat = g.shape[-1]
+    if plan.empty:
+        return jnp.zeros((plan.num_dst, feat), jnp.float32)
     g = _pad_rows(g.astype(jnp.float32), plan.num_src)
     x_other = _pad_rows(x_other.astype(jnp.float32), plan.num_extra)
     x_mine = _pad_rows(x_mine.astype(jnp.float32), plan.num_dst)
@@ -405,7 +421,8 @@ def fused_message_bwd(g: jnp.ndarray, x_mine: jnp.ndarray,
                             xblk_ref, out_ref,
                             lambda: g_ref[pl.ds(w0, window), :],
                             lambda: xo_ref[pl.ds(e0, window), :],
-                            tile=tile, window=window, block=block, act=act)
+                            tile=tile, window=window, block=block, act=act,
+                            passes=plan.passes)
         x_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
         scratch = []
     else:
@@ -425,7 +442,8 @@ def fused_message_bwd(g: jnp.ndarray, x_mine: jnp.ndarray,
             _fused_bwd_body(t, blk_ref, grel, erel, drel, mask, bias_ref,
                             xblk_ref, out_ref, lambda: gwin[...],
                             lambda: owin[...],
-                            tile=tile, window=window, block=block, act=act)
+                            tile=tile, window=window, block=block, act=act,
+                            passes=plan.passes)
         x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
         scratch = [pltpu.VMEM((window, feat), jnp.float32),
                    pltpu.VMEM((window, feat), jnp.float32),
@@ -447,7 +465,8 @@ def fused_message_bwd(g: jnp.ndarray, x_mine: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((plan.num_dst, feat), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_tiles * (2 * tile * window + 3 * tile * block) * feat,
+            flops=2 * n_tiles * plan.passes
+            * (2 * tile * window + 3 * tile * block) * feat,
             bytes_accessed=n_tiles * (2 * window + 2 * block) * feat * 4,
             transcendentals=0),
     )(plan.win_start, plan.extra_start, plan.out_block,

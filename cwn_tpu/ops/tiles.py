@@ -42,6 +42,14 @@ class TilePlan:
     num_src: int = struct.field(pytree_node=False)   # x rows (padded, >= window)
     num_extra: int = struct.field(pytree_node=False)
     num_dst: int = struct.field(pytree_node=False)   # out rows (multiple of block)
+    # bf16 MXU passes for the value operand: 1 = bf16-rounded values (XLA's
+    # default f32-matmul precision on TPU), 2 = ~2^-17 relative error,
+    # 3 = full f32 accuracy (Precision.HIGHEST equivalent).  Static so it
+    # participates in jit cache keys.
+    passes: int = struct.field(pytree_node=False, default=2)
+    # True when the adjacency has no valid edges at all: callers skip the
+    # kernel launch and emit zeros (static, known at pack time).
+    empty: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_tiles(self) -> int:
@@ -57,10 +65,46 @@ def _pow2_round(n: int, minimum: int = 1) -> int:
     return 1 << int(np.ceil(np.log2(n)))
 
 
+PRECISION_PASSES = {"default": 1, "high": 2, "exact": 3, "highest": 3}
+
+
+def build_tile_plan_auto(src, dst, mask, num_src: int, num_dst: int,
+                         extra=None, num_extra: int = 0, tile: int = 256,
+                         window: int = 256, block: int = 256,
+                         passes: int = 2) -> TilePlan:
+    """build_tile_plan with window/block geometry chosen by occupancy.
+
+    Tiles fragment on two boundaries: the source-window span and the
+    dst-block span (a tile's dsts must fall in ONE aligned block, so small
+    blocks over many small complexes leave tiles part-empty).  Try
+    doublings of both and keep the cheapest under a simple per-tile cost
+    model: fixed overhead + MXU work ~ (2*window + block)."""
+    max_span = max(num_src, num_extra if extra is not None else 0)
+    best, best_cost = None, None
+    w = window
+    while True:
+        b = block
+        while True:
+            plan = build_tile_plan(src, dst, mask, num_src, num_dst,
+                                   extra=extra, num_extra=num_extra,
+                                   tile=tile, window=w, block=b,
+                                   passes=passes)
+            cost = plan.num_tiles * (600.0 + 2.0 * w + b)
+            if best is None or cost < best_cost:
+                best, best_cost = plan, cost
+            if b >= num_dst or b >= 4 * block:
+                break
+            b *= 2
+        if w >= max_span or w >= 4 * window:
+            break
+        w *= 2
+    return best
+
+
 def build_tile_plan(src, dst, mask, num_src: int, num_dst: int,
                     extra=None, num_extra: int = 0,
                     tile: int = 512, window: int = 512, block: int = 256,
-                    bucket_tiles: bool = True) -> TilePlan:
+                    bucket_tiles: bool = True, passes: int = 2) -> TilePlan:
     """Plan dst-sorted edges into kernel tiles (see module docstring)."""
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
@@ -165,4 +209,5 @@ def build_tile_plan(src, dst, mask, num_src: int, num_dst: int,
         extra_rel=_r(ex_rel),
         win_start=win_start, extra_start=ex_start, out_block=out_block,
         tile=tile, window=window, block=block,
-        num_src=num_src_pad, num_extra=num_extra_pad, num_dst=num_dst_pad)
+        num_src=num_src_pad, num_extra=num_extra_pad, num_dst=num_dst_pad,
+        passes=passes, empty=(len(dst) == 0))
