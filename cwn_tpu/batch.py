@@ -371,7 +371,8 @@ def pack_complexes(complexes: Sequence[Complex], max_dim: int,
 
 def add_tile_plans(batch: ComplexBatch, tile: int = 256, window: int = 256,
                    block: int = 256,
-                   precision: str = "high") -> ComplexBatch:
+                   precision: str = "high",
+                   feat_hint: int = 128) -> ComplexBatch:
     """Attach Pallas SpMM tile plans (forward + transpose) to every
     adjacency of the batch.  Orientation weights, when present, are folded
     into the plan weights (message = orient * x_src).
@@ -379,11 +380,25 @@ def add_tile_plans(batch: ComplexBatch, tile: int = 256, window: int = 256,
     precision: bf16 MXU passes for the kernels' value operand —
     "default" (1 pass, XLA's f32-matmul default on TPU), "high"
     (2 passes, ~2^-17 relative error; the framework default), or
-    "exact"/"highest" (3 passes, full f32 accuracy for parity tests)."""
-    from cwn_tpu.ops.tiles import PRECISION_PASSES, build_tile_plan_auto \
-        as build_tile_plan
+    "exact"/"highest" (3 passes, full f32 accuracy for parity tests).
+
+    feat_hint: expected feature width; adjacencies whose source + output
+    arrays fit VMEM at this width get the faster windowed-scatter kernel
+    (output fully VMEM-resident), larger ones the block-grid kernel."""
+    from cwn_tpu.ops.tiles import (PRECISION_PASSES, build_tile_plan_auto,
+                                   build_window_plan)
 
     passes = PRECISION_PASSES[precision]
+    # VMEM budget for windowed mode: sources + extras + output resident.
+    vmem_rows = (10 * 1024 * 1024) // (4 * max(feat_hint, 1))
+
+    def build_tile_plan(src, dst, w, n_src, n_dst, extra=None,
+                        num_extra=0, **kw):
+        if n_src + num_extra + n_dst <= vmem_rows:
+            return build_window_plan(src, dst, w, n_src, n_dst, extra=extra,
+                                     num_extra=num_extra, **kw)
+        return build_tile_plan_auto(src, dst, w, n_src, n_dst, extra=extra,
+                                    num_extra=num_extra, **kw)
 
     new_dims = []
     for k, d in enumerate(batch.dims):

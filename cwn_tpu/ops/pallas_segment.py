@@ -27,6 +27,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -127,6 +128,8 @@ def segment_spmm(x: jnp.ndarray, plan: TilePlan,
     feat = x.shape[-1]
     if plan.empty:
         return jnp.zeros((plan.num_dst, feat), jnp.float32)
+    if plan.dst_start is not None:
+        return _win_segment_spmm(x, plan, interpret or _FORCE_INTERPRET)
     if x.shape[0] < plan.num_src:
         x = jnp.pad(x, ((0, plan.num_src - x.shape[0]), (0, 0)))
     n_tiles = plan.num_tiles
@@ -312,6 +315,9 @@ def fused_message_fwd(xs: jnp.ndarray, xu: jnp.ndarray, bias: jnp.ndarray,
     feat = xs.shape[-1]
     if plan.empty:
         return jnp.zeros((plan.num_dst, feat), jnp.float32)
+    if plan.dst_start is not None:
+        return _win_fused_fwd(xs, xu, bias, plan, act,
+                              interpret or _FORCE_INTERPRET)
     xs = _pad_rows(xs.astype(jnp.float32), plan.num_src)
     xu = _pad_rows(xu.astype(jnp.float32), plan.num_extra)
     bias2 = jnp.reshape(bias.astype(jnp.float32), (1, feat))
@@ -398,6 +404,9 @@ def fused_message_bwd(g: jnp.ndarray, x_mine: jnp.ndarray,
     feat = g.shape[-1]
     if plan.empty:
         return jnp.zeros((plan.num_dst, feat), jnp.float32)
+    if plan.dst_start is not None:
+        return _win_fused_bwd(g, x_mine, x_other, bias, plan, act,
+                              interpret or _FORCE_INTERPRET)
     g = _pad_rows(g.astype(jnp.float32), plan.num_src)
     x_other = _pad_rows(x_other.astype(jnp.float32), plan.num_extra)
     x_mine = _pad_rows(x_mine.astype(jnp.float32), plan.num_dst)
@@ -503,3 +512,250 @@ def _fused_bwd_rule(act, res, g):
 
 
 fused_message_spmm.defvjp(_fused_fwd_rule, _fused_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Windowed-scatter kernels (TilePlan.dst_start is not None).
+#
+# The whole output lives in VMEM for the kernel's duration (out_spec maps
+# every grid step to the full array) and each tile scatters into a dynamic
+# 8-aligned `block`-row window — no aligned out-block grid, no per-tile
+# output DMA, no interleaved empty tiles.  `supertile` consecutive tiles
+# run in one unrolled grid step to amortise the fixed per-step cost
+# (stream DMA issue + pipeline bookkeeping), which hardware traces show
+# dominates the small-tile regime.
+# ---------------------------------------------------------------------------
+
+
+def _win_spmm_kernel(win_ref, dwin_ref, srel_ref, drel_ref, mask_ref,
+                     x_ref, out_ref, *, tile, window, block, passes,
+                     supertile):
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    for s in range(supertile):
+        t = g * supertile + s
+        sl = pl.ds(s * tile, tile)
+        srel = srel_ref[0, 0, sl]
+        drel = drel_ref[0, 0, sl]
+        wgt = mask_ref[0, 0, sl]
+        w0 = win_ref[t]
+        d0 = dwin_ref[t]
+
+        @pl.when(jnp.any(wgt != 0))
+        def _(srel=srel, drel=drel, wgt=wgt, w0=w0, d0=d0):
+            oh_s = (jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
+                    == srel[:, None]).astype(jnp.bfloat16)
+            oh_d = (jax.lax.broadcasted_iota(jnp.int32, (block, tile), 0)
+                    == drel[None, :]).astype(jnp.bfloat16)
+            msg = _onehot_dot(oh_s, x_ref[pl.ds(w0, window), :],
+                              passes) * wgt[:, None]
+            contrib = _onehot_dot(oh_d, msg, passes)
+            out_ref[pl.ds(d0, block), :] = \
+                out_ref[pl.ds(d0, block), :] + contrib
+
+
+def _reshape_stream(a, plan):
+    S, T = plan.supertile, plan.tile
+    G = plan.num_tiles // S
+    return jnp.asarray(a).reshape(G, 1, S * T)
+
+
+def _win_segment_spmm(x, plan, interpret):
+    tile, window, block = plan.tile, plan.window, plan.block
+    feat = x.shape[-1]
+    S = plan.supertile
+    G = plan.num_tiles // S
+    if x.shape[0] < plan.num_src:
+        x = jnp.pad(x, ((0, plan.num_src - x.shape[0]), (0, 0)))
+
+    stream = pl.BlockSpec((1, 1, S * tile), lambda g, w, d: (g, 0, 0),
+                          memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=[stream, stream, stream,
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((plan.num_dst, feat), lambda g, w, d: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_win_spmm_kernel, tile=tile, window=window,
+                               block=block, passes=plan.passes, supertile=S)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.num_dst, feat), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * plan.num_tiles * plan.passes
+            * (tile * window + tile * block) * feat,
+            bytes_accessed=(plan.num_src + plan.num_dst) * feat * 4,
+            transcendentals=0),
+    )(plan.win_start, plan.dst_start,
+      _reshape_stream(plan.src_rel, plan), _reshape_stream(plan.dst_rel, plan),
+      _reshape_stream(plan.mask, plan), x.astype(jnp.float32))
+
+
+def _win_fused_fwd_kernel(win_ref, ewin_ref, dwin_ref, srel_ref, erel_ref,
+                          drel_ref, mask_ref, bias_ref, xs_ref, xu_ref,
+                          out_ref, *, tile, window, block, passes, supertile,
+                          act):
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    for s in range(supertile):
+        t = g * supertile + s
+        sl = pl.ds(s * tile, tile)
+        srel = srel_ref[0, 0, sl]
+        erel = erel_ref[0, 0, sl]
+        drel = drel_ref[0, 0, sl]
+        wgt = mask_ref[0, 0, sl]
+        w0 = win_ref[t]
+        e0 = ewin_ref[t]
+        d0 = dwin_ref[t]
+
+        @pl.when(jnp.any(wgt != 0))
+        def _(srel=srel, erel=erel, drel=drel, wgt=wgt, w0=w0, e0=e0, d0=d0):
+            oh_s = (jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
+                    == srel[:, None]).astype(jnp.bfloat16)
+            oh_e = (jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
+                    == erel[:, None]).astype(jnp.bfloat16)
+            oh_d = (jax.lax.broadcasted_iota(jnp.int32, (block, tile), 0)
+                    == drel[None, :]).astype(jnp.bfloat16)
+            pre = (_onehot_dot(oh_s, xs_ref[pl.ds(w0, window), :], passes)
+                   + _onehot_dot(oh_e, xu_ref[pl.ds(e0, window), :], passes)
+                   + bias_ref[0, :][None, :])
+            msg = _act_fn(act)(pre) * wgt[:, None]
+            contrib = _onehot_dot(oh_d, msg, passes)
+            out_ref[pl.ds(d0, block), :] = \
+                out_ref[pl.ds(d0, block), :] + contrib
+
+
+def _win_fused_fwd(xs, xu, bias, plan, act, interpret):
+    tile, window, block = plan.tile, plan.window, plan.block
+    feat = xs.shape[-1]
+    S = plan.supertile
+    G = plan.num_tiles // S
+    xs = _pad_rows(xs.astype(jnp.float32), plan.num_src)
+    xu = _pad_rows(xu.astype(jnp.float32), plan.num_extra)
+    bias2 = jnp.reshape(bias.astype(jnp.float32), (1, feat))
+
+    stream = pl.BlockSpec((1, 1, S * tile), lambda g, w, e, d: (g, 0, 0),
+                          memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(G,),
+        in_specs=[stream, stream, stream, stream, full, full, full],
+        out_specs=pl.BlockSpec((plan.num_dst, feat),
+                               lambda g, w, e, d: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_win_fused_fwd_kernel, tile=tile,
+                               window=window, block=block,
+                               passes=plan.passes, supertile=S, act=act)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.num_dst, feat), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * plan.num_tiles * plan.passes
+            * (2 * tile * window + tile * block) * feat,
+            bytes_accessed=(plan.num_src + plan.num_extra + plan.num_dst)
+            * feat * 4,
+            transcendentals=0),
+    )(plan.win_start, plan.extra_start, plan.dst_start,
+      _reshape_stream(plan.src_rel, plan),
+      _reshape_stream(plan.extra_rel, plan),
+      _reshape_stream(plan.dst_rel, plan),
+      _reshape_stream(plan.mask, plan), bias2, xs, xu)
+
+
+def _win_fused_bwd_kernel(win_ref, ewin_ref, dwin_ref, grel_ref, erel_ref,
+                          drel_ref, mask_ref, bias_ref, g_ref, xo_ref,
+                          xm_ref, out_ref, *, tile, window, block, passes,
+                          supertile, act):
+    gi = pl.program_id(0)
+
+    @pl.when(gi == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    for s in range(supertile):
+        t = gi * supertile + s
+        sl = pl.ds(s * tile, tile)
+        grel = grel_ref[0, 0, sl]
+        erel = erel_ref[0, 0, sl]
+        drel = drel_ref[0, 0, sl]
+        wgt = mask_ref[0, 0, sl]
+        w0 = win_ref[t]
+        e0 = ewin_ref[t]
+        d0 = dwin_ref[t]
+
+        @pl.when(jnp.any(wgt != 0))
+        def _(grel=grel, erel=erel, drel=drel, wgt=wgt, w0=w0, e0=e0, d0=d0):
+            oh_g = (jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
+                    == grel[:, None]).astype(jnp.bfloat16)
+            oh_e = (jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
+                    == erel[:, None]).astype(jnp.bfloat16)
+            oh_b = (jax.lax.broadcasted_iota(jnp.int32, (tile, block), 1)
+                    == drel[:, None]).astype(jnp.bfloat16)
+            oh_d = (jax.lax.broadcasted_iota(jnp.int32, (block, tile), 0)
+                    == drel[None, :]).astype(jnp.bfloat16)
+            ge = _onehot_dot(oh_g, g_ref[pl.ds(w0, window), :], passes)
+            other = _onehot_dot(oh_e, xo_ref[pl.ds(e0, window), :], passes)
+            mine = _onehot_dot(oh_b, xm_ref[pl.ds(d0, block), :], passes)
+            pre = mine + other + bias_ref[0, :][None, :]
+            dpre = _dact_fn(act)(pre) * wgt[:, None] * ge
+            contrib = _onehot_dot(oh_d, dpre, passes)
+            out_ref[pl.ds(d0, block), :] = \
+                out_ref[pl.ds(d0, block), :] + contrib
+
+
+def _win_fused_bwd(g, x_mine, x_other, bias, plan, act, interpret):
+    tile, window, block = plan.tile, plan.window, plan.block
+    feat = g.shape[-1]
+    S = plan.supertile
+    G = plan.num_tiles // S
+    g = _pad_rows(g.astype(jnp.float32), plan.num_src)
+    x_other = _pad_rows(x_other.astype(jnp.float32), plan.num_extra)
+    x_mine = _pad_rows(x_mine.astype(jnp.float32), plan.num_dst)
+    bias2 = jnp.reshape(bias.astype(jnp.float32), (1, feat))
+
+    stream = pl.BlockSpec((1, 1, S * tile), lambda gg, w, e, d: (gg, 0, 0),
+                          memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(G,),
+        in_specs=[stream, stream, stream, stream, full, full, full, full],
+        out_specs=pl.BlockSpec((plan.num_dst, feat),
+                               lambda gg, w, e, d: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_win_fused_bwd_kernel, tile=tile,
+                               window=window, block=block,
+                               passes=plan.passes, supertile=S, act=act)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.num_dst, feat), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * plan.num_tiles * plan.passes
+            * (2 * tile * window + 2 * tile * block) * feat,
+            bytes_accessed=(plan.num_src + plan.num_extra + 2 * plan.num_dst)
+            * feat * 4,
+            transcendentals=0),
+    )(plan.win_start, plan.extra_start, plan.dst_start,
+      _reshape_stream(plan.src_rel, plan),
+      _reshape_stream(plan.extra_rel, plan),
+      _reshape_stream(plan.dst_rel, plan),
+      _reshape_stream(plan.mask, plan), bias2, g, x_other, x_mine)
