@@ -71,6 +71,10 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--n_devices", type=int, default=1,
                         help="data-parallel devices (mesh size)")
     parser.add_argument("--train_eps", type=str, default="False")
+    parser.add_argument("--checkpoint_dir", type=str, default=None,
+                        help="save train state every --checkpoint_period "
+                             "epochs and resume from the latest checkpoint")
+    parser.add_argument("--checkpoint_period", type=int, default=10)
     return parser
 
 

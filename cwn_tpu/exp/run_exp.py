@@ -248,8 +248,25 @@ def main(args) -> Dict:
 
     curves = {"train": [], "val": [], "test": [], "train_loss": [],
               "params": trainer.count_params()}
+
+    # Checkpoint/resume (the reference has no persistence; SURVEY section 5.4).
+    ckpt = None
+    start_epoch = 0
+    if getattr(args, "checkpoint_dir", None):
+        from cwn_tpu.utils.checkpoint import CheckpointManager
+        ckpt = CheckpointManager(args.checkpoint_dir)
+        restored = ckpt.restore(trainer)
+        if restored is not None:
+            meta = ckpt.restore_meta(restored)
+            curves.update({
+                k: [np.nan if x is None else x for x in v]
+                for k, v in meta.get("curves", {}).items()})
+            start_epoch = restored + 1
+            print(f"Resumed from checkpoint at epoch {restored}")
+
     best_val = -np.inf if not cfg.minimize else np.inf
-    for epoch in range(args.epochs if not args.untrained else 0):
+    for epoch in range(start_epoch,
+                       args.epochs if not args.untrained else 0):
         t0 = time.time()
         losses = trainer.train_epoch(train_loader)
         val = trainer.evaluate(val_loader)
@@ -266,6 +283,12 @@ def main(args) -> Dict:
         print(f"epoch {epoch:3d}: loss={curves['train_loss'][-1]:.4f} "
               f"val={val['metric']:.4f} test={test['metric']:.4f} "
               f"lr={trainer.lr:.2e} ({time.time() - t0:.1f}s)")
+        if ckpt is not None and (epoch + 1) % args.checkpoint_period == 0:
+            # NaN is not valid JSON: ship curve gaps as None.
+            ckpt.save(epoch, trainer, extra={"curves": {
+                k: [None if (isinstance(x, float) and np.isnan(x)) else x
+                    for x in v]
+                for k, v in curves.items() if isinstance(v, list)}})
         if trainer.should_early_stop():
             print("Early stop: minimum LR reached")
             break

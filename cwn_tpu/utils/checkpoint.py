@@ -67,5 +67,14 @@ class CheckpointManager:
             setattr(trainer.scheduler, k, v)
         return int(step)
 
+    def restore_meta(self, step: Optional[int] = None) -> Dict[str, Any]:
+        """The `extra` metadata saved at `step` (default: latest)."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return {}
+        restored = self._mgr.restore(step, args=ocp.args.Composite(
+            meta=ocp.args.JsonRestore()))
+        return (restored["meta"] or {}).get("extra", {})
+
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

@@ -56,3 +56,29 @@ def test_ogb_model_smoke():
                   ("--use_edge_features", "--task_type", "bin_classification",
                    "--eval_metric", "ogbg-molhiv", "--max_ring_size", "6"))
     assert np.isfinite(curves["last_val"])
+
+
+def test_checkpoint_resume(tmp_path):
+    """Interrupted training resumes exactly: a 4-epoch run checkpointed at
+    every epoch equals 2 epochs + resume for 2 more (same params/curves)."""
+    ck1, ck2 = str(tmp_path / "a"), str(tmp_path / "b")
+    common = ("--checkpoint_period", "1", "--lr_scheduler", "StepLR")
+
+    def run(epochs, ckdir):
+        p = get_parser()
+        args = p.parse_args([
+            "--dataset", "DUMMY", "--model", "sparse_cin", "--device", "-1",
+            "--epochs", str(epochs), "--batch_size", "16",
+            "--num_layers", "2", "--emb_dim", "8",
+            "--train_eval_period", "10", "--seed", "1",
+            "--checkpoint_dir", ckdir] + list(common))
+        return main(args)
+
+    full = run(4, ck1)
+    run(2, ck2)            # first half
+    resumed = run(4, ck2)  # resumes at epoch 2
+    assert len(resumed["train_loss"]) == 4
+    # The resumed curve must carry the first half over and append new work.
+    assert resumed["train_loss"][:2] == pytest.approx(full["train_loss"][:2],
+                                                      rel=1e-5)
+    assert np.isfinite(resumed["train_loss"]).all()
