@@ -15,11 +15,18 @@ For that to work each tile must satisfy, by construction here:
      kernel can zero each block on first visit and accumulate.
 
 num_tiles is padded to a bucket size so jit compiles O(log) shapes.
+
+Planning is fully vectorised (one lexsort + an O(num_tiles) boundary scan
+with numpy ops): plans for millions of edges build in milliseconds, so the
+data loader can plan every batch on the fly.  Within each dst segment the
+edges are re-sorted by src so the src window of a growing tile is just
+[src[i], src[j-1]] — intra-tile edge order is irrelevant to the kernel
+(one-hot matmuls accumulate), inter-tile block order is preserved.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 from flax import struct
@@ -29,10 +36,10 @@ from flax import struct
 class TilePlan:
     """Device arrays + static geometry for one adjacency's tiles."""
 
-    src_rel: np.ndarray    # [tiles, T] int32, src - win_start[tile]
-    dst_rel: np.ndarray    # [tiles, T] int32, dst - block*out_block[tile]
-    mask: np.ndarray       # [tiles, T] float32
-    extra_rel: Optional[np.ndarray]  # [tiles, T] int32 (2nd gather stream)
+    src_rel: np.ndarray    # [tiles, 1, T] int32, src - win_start[tile]
+    dst_rel: np.ndarray    # [tiles, 1, T] int32, dst - block*out_block[tile]
+    mask: np.ndarray       # [tiles, 1, T] float32
+    extra_rel: Optional[np.ndarray]  # [tiles, 1, T] int32 (2nd gather stream)
     win_start: np.ndarray  # [tiles] int32
     extra_start: Optional[np.ndarray]  # [tiles] int32
     out_block: np.ndarray  # [tiles] int32 (block ids, non-decreasing)
@@ -75,6 +82,181 @@ def _pow2_round(n: int, minimum: int = 1) -> int:
 PRECISION_PASSES = {"default": 1, "high": 2, "exact": 3, "highest": 3}
 
 
+def _sorted_valid(src, dst, mask, extra):
+    """Drop masked-out edges and sort by dst (stable)."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    mask = np.asarray(mask, np.float32)
+    extra = None if extra is None else np.asarray(extra, np.int64)
+    valid = mask != 0          # weights may be signed (orientations)
+    order = np.argsort(dst, kind="stable")
+    order = order[valid[order]]
+    return (src[order], dst[order], mask[order],
+            extra[order] if extra is not None else None)
+
+
+def _split_tiles(src, extra, seg_starts, seg_ends, tile: int, window: int
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Split dst segments into tiles obeying tile size + src/extra windows.
+
+    src must be ascending within each segment (lexsorted); extra (if given)
+    is unordered and is span-checked with cumulative min/max.  Returns tile
+    (starts, ends) index arrays partitioning [0, n)."""
+    starts, ends = [], []
+    for s, e in zip(seg_starts, seg_ends):
+        i = int(s)
+        e = int(e)
+        while i < e:
+            j = min(i + tile, e)
+            # src ascending in segment: window limit via searchsorted.
+            w_lim = (int(src[i]) // 8) * 8 + window
+            j = i + int(np.searchsorted(src[i:j], w_lim, side="left"))
+            if extra is not None and j > i + 1:
+                ev = extra[i:j]
+                cmin = np.minimum.accumulate(ev)
+                cmax = np.maximum.accumulate(ev)
+                viol = cmax - (cmin // 8) * 8 >= window
+                if viol.any():
+                    j = i + max(int(np.argmax(viol)), 1)
+            starts.append(i)
+            ends.append(j)
+            i = j
+    return (np.asarray(starts, np.int64), np.asarray(ends, np.int64))
+
+
+def _fill_tiles(src, dst, weights, extra, t_starts, t_ends, pad_count,
+                tile: int, window: int, num_src_pad: int, num_extra_pad: int):
+    """Vectorised scatter of edges into [tiles, T] rel arrays.
+
+    Returns (src_rel, dst_abs, mask, ex_rel, win_start, ex_start) where
+    dst_abs holds ABSOLUTE dst ids (callers subtract their block base).
+    pad_count extra all-masked tiles are appended."""
+    n_real = len(t_starts)
+    t_count = n_real + pad_count
+    counts = t_ends - t_starts
+    rows = np.repeat(np.arange(n_real), counts)
+    cols = np.arange(len(src)) - np.repeat(t_starts, counts)
+
+    src_rel = np.zeros((t_count, tile), np.int32)
+    dst_abs = np.zeros((t_count, tile), np.int64)
+    m = np.zeros((t_count, tile), np.float32)
+    win_start = np.zeros(t_count, np.int32)
+    ex_rel = None
+    ex_start = None
+
+    if n_real:
+        # Per-tile minima: src is ascending within a tile, so min = first.
+        w0 = (src[t_starts] // 8) * 8
+        w0 = np.minimum(w0, num_src_pad - window).astype(np.int64)
+        win_start[:n_real] = w0
+        src_rel[rows, cols] = src - w0[rows]
+        dst_abs[rows, cols] = dst
+        m[rows, cols] = weights
+    if extra is not None:
+        ex_rel = np.zeros((t_count, tile), np.int32)
+        ex_start = np.zeros(t_count, np.int32)
+        if n_real:
+            e0 = np.minimum.reduceat(extra, t_starts)
+            e0 = np.minimum((e0 // 8) * 8, num_extra_pad - window)
+            ex_start[:n_real] = e0
+            ex_rel[rows, cols] = extra - e0[rows]
+    return src_rel, dst_abs, m, ex_rel, win_start, ex_start
+
+
+def _reshape3(a):
+    return None if a is None else a[:, None, :]
+
+
+def _grid_boundaries(src, dst, extra, tile: int, window: int, block: int):
+    """Tile boundaries for grid mode: dst segments are aligned blocks."""
+    n = len(dst)
+    blk = dst // block
+    seg_starts = np.flatnonzero(np.r_[True, blk[1:] != blk[:-1]])
+    seg_ends = np.r_[seg_starts[1:], n]
+    # Re-sort by src within each dst block (extra as tie-break for locality).
+    keys = (src, blk) if extra is None else (extra, src, blk)
+    order = np.lexsort(keys)
+    src, dst = src[order], dst[order]
+    extra = extra[order] if extra is not None else None
+    t_starts, t_ends = _split_tiles(src, extra, seg_starts, seg_ends,
+                                    tile, window)
+    return order, t_starts, t_ends, blk
+
+
+def build_tile_plan(src, dst, mask, num_src: int, num_dst: int,
+                    extra=None, num_extra: int = 0,
+                    tile: int = 512, window: int = 512, block: int = 256,
+                    bucket_tiles: bool = True, passes: int = 2) -> TilePlan:
+    """Plan dst-sorted edges into kernel tiles (see module docstring)."""
+    src, dst, weights, extra_v = _sorted_valid(src, dst, mask, extra)
+    has_extra = extra is not None
+    n = len(dst)
+
+    num_src_pad = max(_round_up(num_src, 8), window)
+    num_extra_pad = max(_round_up(num_extra, 8), window) if has_extra else 0
+    num_dst_pad = _round_up(max(num_dst, block), block)
+    n_blocks = num_dst_pad // block
+
+    if n:
+        order, t_starts, t_ends, _ = _grid_boundaries(
+            src, dst, extra_v, tile, window, block)
+        src, dst, weights = src[order], dst[order], weights[order]
+        extra_v = extra_v[order] if has_extra else None
+        tile_blk = (dst[t_starts] // block).astype(np.int64)
+    else:
+        t_starts = t_ends = np.zeros(0, np.int64)
+        tile_blk = np.zeros(0, np.int64)
+
+    # Interleave all-padding tiles so every out block is visited, in order:
+    # block b gets an empty tile iff no real tile targets it.
+    present = np.zeros(n_blocks, bool)
+    present[tile_blk] = True
+    missing = np.flatnonzero(~present)
+    n_real = len(t_starts)
+    n_tiles = n_real + len(missing)
+    target = _pow2_round(n_tiles) if bucket_tiles else n_tiles
+    pad_count = target - n_real
+
+    src_rel, dst_abs, m, ex_rel, win_start, ex_start = _fill_tiles(
+        src, dst, weights, extra_v, t_starts, t_ends, pad_count,
+        tile, window, num_src_pad, num_extra_pad)
+
+    # Block ids: real tiles in dst order, then the missing blocks, then
+    # trailing accumulation padding repeating the last block — merged into
+    # one globally non-decreasing sequence.
+    t_count = n_real + pad_count
+    out_block = np.zeros(t_count, np.int32)
+    out_block[:n_real] = tile_blk
+    out_block[n_real:n_real + len(missing)] = missing
+    last_blk = (out_block[n_real + len(missing) - 1]
+                if (n_real + len(missing)) else 0)
+    out_block[n_real + len(missing):] = last_blk
+    order2 = np.argsort(out_block, kind="stable")
+
+    def _ro(a):
+        return None if a is None else a[order2]
+
+    dst_rel = (dst_abs - out_block[:, None].astype(np.int64) * block
+               ).astype(np.int32)
+    dst_rel[m == 0] = 0
+
+    plan = TilePlan(
+        src_rel=_reshape3(_ro(src_rel)),
+        dst_rel=_reshape3(_ro(dst_rel)),
+        mask=_reshape3(_ro(m)), extra_rel=_reshape3(_ro(ex_rel)),
+        win_start=_ro(win_start), extra_start=_ro(ex_start),
+        out_block=out_block[order2],
+        tile=tile, window=window, block=block,
+        num_src=num_src_pad, num_extra=num_extra_pad, num_dst=num_dst_pad,
+        passes=passes, empty=(n == 0))
+    assert plan.src_rel.max(initial=0) < window and plan.src_rel.min(initial=0) >= 0
+    assert plan.dst_rel.max(initial=0) < block and plan.dst_rel.min(initial=0) >= 0
+    if ex_rel is not None:
+        assert plan.extra_rel.max(initial=0) < window
+        assert plan.extra_rel.min(initial=0) >= 0
+    return plan
+
+
 def build_tile_plan_auto(src, dst, mask, num_src: int, num_dst: int,
                          extra=None, num_extra: int = 0, tile: int = 256,
                          window: int = 256, block: int = 256,
@@ -87,23 +269,44 @@ def build_tile_plan_auto(src, dst, mask, num_src: int, num_dst: int,
     per-tile cost is dominated by one-hot construction + MXU work, both
     proportional to the tile AREA tile*(2*window + block), plus a small
     fixed grid-step overhead — search tile/window/block and minimise
-    tiles * (fixed + area), calibrated on hardware traces."""
-    candidates = []
-    for t in {tile // 2, tile}:
-        for w in {window // 2, window, 2 * window, 4 * window}:
-            for b in {block // 2, block, 2 * block, 4 * block}:
-                if t >= 128 and w >= 128 and b >= 128:
-                    candidates.append((t, w, b))
+    tiles * (fixed + area), calibrated on hardware traces.  Candidates are
+    costed with a boundary-only pass sharing one lexsort per block size;
+    only the winner is materialised."""
+    s, d, w, e = _sorted_valid(src, dst, mask, extra)
+    n = len(d)
+    blocks = sorted({block // 2, block, 2 * block, 4 * block} - {64})
+    tiles_c = sorted({tile // 2, tile} - {64})
+    windows = sorted({window // 2, window, 2 * window, 4 * window} - {64})
     best, best_cost = None, None
-    for t, w, b in sorted(candidates):
-        plan = build_tile_plan(src, dst, mask, num_src, num_dst,
-                               extra=extra, num_extra=num_extra,
-                               tile=t, window=w, block=b, passes=passes)
-        area = t * ((2 * w if extra is not None else w) + b)
-        cost = plan.num_tiles * (80_000.0 + area)
-        if best is None or cost < best_cost:
-            best, best_cost = plan, cost
-    return best
+    for b in blocks:
+        num_dst_pad = _round_up(max(num_dst, b), b)
+        if n:
+            blk = d // b
+            seg_starts = np.flatnonzero(np.r_[True, blk[1:] != blk[:-1]])
+            seg_ends = np.r_[seg_starts[1:], n]
+            keys = (s, blk) if e is None else (e, s, blk)
+            order = np.lexsort(keys)
+            s_srt = s[order]
+            e_srt = e[order] if e is not None else None
+            blocks_hit = len(seg_starts)
+        for t in tiles_c:
+            for win in windows:
+                if n:
+                    t_starts, _ = _split_tiles(s_srt, e_srt, seg_starts,
+                                               seg_ends, t, win)
+                    count = (len(t_starts)
+                             + num_dst_pad // b - blocks_hit)
+                else:
+                    count = num_dst_pad // b
+                n_tiles = _pow2_round(max(count, 1))
+                area = t * ((2 * win if e is not None else win) + b)
+                cost = n_tiles * (80_000.0 + area)
+                if best is None or cost < best_cost:
+                    best, best_cost = (t, win, b), cost
+    t, win, b = best
+    return build_tile_plan(src, dst, mask, num_src, num_dst, extra=extra,
+                           num_extra=num_extra, tile=t, window=win, block=b,
+                           passes=passes)
 
 
 def build_window_plan(src, dst, mask, num_src: int, num_dst: int,
@@ -118,205 +321,72 @@ def build_window_plan(src, dst, mask, num_src: int, num_dst: int,
     empty tiles, no fragmentation at block boundaries.  Tiles are padded to
     a multiple of `supertile` (and bucketed to a power of two) so the
     kernel grid is tiles/supertile."""
-    src = np.asarray(src, np.int64)
-    dst = np.asarray(dst, np.int64)
-    mask = np.asarray(mask, np.float32)
+    src, dst, weights, extra_v = _sorted_valid(src, dst, mask, extra)
     has_extra = extra is not None
-    extra = np.asarray(extra, np.int64) if has_extra else None
-
-    valid = mask != 0
-    order = np.argsort(dst, kind="stable")
-    order = order[valid[order]]
-    src, dst = src[order], dst[order]
-    weights = mask[order]
-    extra_v = extra[order] if has_extra else None
+    n = len(dst)
 
     num_src_pad = max(_round_up(num_src, 8), window)
     num_extra_pad = max(_round_up(num_extra, 8), window) if has_extra else 0
     num_dst_pad = max(_round_up(num_dst, 8), block)
 
-    raw_tiles = []  # (i, j, w0, e0, d0)
-    i, n = 0, len(dst)
-    while i < n:
-        smin = smax = int(src[i])
-        dmin = dmax = int(dst[i])
-        emin = emax = int(extra_v[i]) if has_extra else 0
-        j = i
-        while j < n and (j - i) < tile:
-            ns_min, ns_max = min(smin, int(src[j])), max(smax, int(src[j]))
-            if ns_max - (ns_min // 8) * 8 >= window:
-                break
-            nd_min, nd_max = min(dmin, int(dst[j])), max(dmax, int(dst[j]))
-            if nd_max - (nd_min // 8) * 8 >= block:
-                break
-            if has_extra:
-                ne_min = min(emin, int(extra_v[j]))
-                ne_max = max(emax, int(extra_v[j]))
-                if ne_max - (ne_min // 8) * 8 >= window:
-                    break
-                emin, emax = ne_min, ne_max
-            smin, smax = ns_min, ns_max
-            dmin, dmax = nd_min, nd_max
-            j += 1
-        w0 = min((smin // 8) * 8, num_src_pad - window)
-        e0 = min((emin // 8) * 8, num_extra_pad - window) if has_extra else 0
-        d0 = min((dmin // 8) * 8, num_dst_pad - block)
-        raw_tiles.append((i, j, w0, e0, d0))
-        i = j
+    if n:
+        # Greedy dst segments: dst ascending, so each segment is
+        # [i, searchsorted(dst, (dst[i]//8)*8 + block)).
+        seg_starts, seg_ends = [], []
+        i = 0
+        while i < n:
+            lim = (int(dst[i]) // 8) * 8 + block
+            j = i + int(np.searchsorted(dst[i:], lim, side="left"))
+            seg_starts.append(i)
+            seg_ends.append(j)
+            i = j
+        seg_starts = np.asarray(seg_starts, np.int64)
+        seg_ends = np.asarray(seg_ends, np.int64)
+        seg_id = np.zeros(n, np.int64)
+        seg_id[seg_starts[1:]] = 1
+        seg_id = np.cumsum(seg_id)
+        keys = ((src, seg_id) if not has_extra
+                else (extra_v, src, seg_id))
+        order = np.lexsort(keys)
+        src, dst, weights = src[order], dst[order], weights[order]
+        extra_v = extra_v[order] if has_extra else None
+        t_starts, t_ends = _split_tiles(src, extra_v, seg_starts, seg_ends,
+                                        tile, window)
+    else:
+        t_starts = t_ends = np.zeros(0, np.int64)
 
-    n_tiles = max(len(raw_tiles), 1)
+    n_tiles = max(len(t_starts), 1)
     target = _round_up(n_tiles, supertile)
     if bucket_tiles:
         target = _round_up(_pow2_round(n_tiles), supertile)
-    while len(raw_tiles) < target:
-        raw_tiles.append((None, None, 0, 0, 0))
+    pad_count = target - len(t_starts)
 
-    t_count = len(raw_tiles)
-    src_rel = np.zeros((t_count, tile), np.int32)
-    dst_rel = np.zeros((t_count, tile), np.int32)
-    m = np.zeros((t_count, tile), np.float32)
-    ex_rel = np.zeros((t_count, tile), np.int32) if has_extra else None
-    win_start = np.zeros(t_count, np.int32)
-    ex_start = np.zeros(t_count, np.int32) if has_extra else None
+    src_rel, dst_abs, m, ex_rel, win_start, ex_start = _fill_tiles(
+        src, dst, weights, extra_v, t_starts, t_ends, pad_count,
+        tile, window, num_src_pad, num_extra_pad)
+
+    t_count = len(t_starts) + pad_count
     d_start = np.zeros(t_count, np.int32)
+    if len(t_starts):
+        # dst is NOT sorted within a tile (tiles are re-sorted by src), so
+        # the window base is the per-tile minimum, not the first element.
+        d0 = (np.minimum.reduceat(dst, t_starts) // 8) * 8
+        d_start[:len(t_starts)] = np.minimum(d0, num_dst_pad - block)
+    dst_rel = (dst_abs - d_start[:, None].astype(np.int64)).astype(np.int32)
+    dst_rel[m == 0] = 0
 
-    for t, (i, j, w0, e0, d0) in enumerate(raw_tiles):
-        win_start[t] = w0
-        d_start[t] = d0
-        if has_extra:
-            ex_start[t] = e0
-        if i is None:
-            continue
-        cnt = j - i
-        src_rel[t, :cnt] = src[i:j] - w0
-        dst_rel[t, :cnt] = dst[i:j] - d0
-        m[t, :cnt] = weights[i:j]
-        if has_extra:
-            ex_rel[t, :cnt] = extra_v[i:j] - e0
-        assert src_rel[t].max() < window and src_rel[t].min() >= 0
-        assert dst_rel[t].max() < block and dst_rel[t].min() >= 0
-
-    def _r(a):
-        return None if a is None else a[:, None, :]
-
-    return TilePlan(
-        src_rel=_r(src_rel), dst_rel=_r(dst_rel), mask=_r(m),
-        extra_rel=_r(ex_rel),
+    plan = TilePlan(
+        src_rel=_reshape3(src_rel), dst_rel=_reshape3(dst_rel),
+        mask=_reshape3(m), extra_rel=_reshape3(ex_rel),
         win_start=win_start, extra_start=ex_start,
         out_block=np.zeros(t_count, np.int32),   # unused in windowed mode
         tile=tile, window=window, block=block,
         num_src=num_src_pad, num_extra=num_extra_pad, num_dst=num_dst_pad,
-        passes=passes, empty=(len(dst) == 0), dst_start=d_start,
+        passes=passes, empty=(n == 0), dst_start=d_start,
         supertile=supertile)
-
-
-def build_tile_plan(src, dst, mask, num_src: int, num_dst: int,
-                    extra=None, num_extra: int = 0,
-                    tile: int = 512, window: int = 512, block: int = 256,
-                    bucket_tiles: bool = True, passes: int = 2) -> TilePlan:
-    """Plan dst-sorted edges into kernel tiles (see module docstring)."""
-    src = np.asarray(src, np.int64)
-    dst = np.asarray(dst, np.int64)
-    mask = np.asarray(mask, np.float32)
-    has_extra = extra is not None
-    extra = np.asarray(extra, np.int64) if has_extra else None
-
-    valid = mask != 0          # weights may be signed (orientations)
-    order = np.argsort(dst, kind="stable")
-    order = order[valid[order]]
-    src, dst = src[order], dst[order]
-    weights = mask[order]
-    extra_v = extra[order] if has_extra else None
-
-    num_src_pad = max(_round_up(num_src, 8), window)
-    num_extra_pad = max(_round_up(num_extra, 8), window) if has_extra else 0
-    num_dst_pad = _round_up(max(num_dst, block), block)
-    n_blocks = num_dst_pad // block
-
-    # Greedy split into tiles.
-    raw_tiles = []  # (i, j, w0, e0, blk)
-    i, n = 0, len(dst)
-    while i < n:
-        blk = int(dst[i]) // block
-        smin = smax = int(src[i])
-        emin = emax = int(extra_v[i]) if has_extra else 0
-        j = i
-        while j < n and (j - i) < tile:
-            if int(dst[j]) // block != blk:
-                break
-            ns_min, ns_max = min(smin, int(src[j])), max(smax, int(src[j]))
-            if ns_max - (ns_min // 8) * 8 >= window:
-                break
-            if has_extra:
-                ne_min = min(emin, int(extra_v[j]))
-                ne_max = max(emax, int(extra_v[j]))
-                if ne_max - (ne_min // 8) * 8 >= window:
-                    break
-                emin, emax = ne_min, ne_max
-            smin, smax = ns_min, ns_max
-            j += 1
-        # Align window starts to the sublane granularity: unaligned dynamic
-        # slices on the second-minor dim force slow relayouts in Mosaic.
-        w0 = min((smin // 8) * 8, num_src_pad - window)
-        e0 = min((emin // 8) * 8, num_extra_pad - window) if has_extra else 0
-        raw_tiles.append((i, j, w0, e0, blk))
-        i = j
-
-    # Interleave all-padding tiles so every out block is visited, in order.
-    tiles = []
-    next_block = 0
-    for (i, j, w0, e0, blk) in raw_tiles:
-        while next_block < blk:
-            tiles.append((None, None, 0, 0, next_block))
-            next_block += 1
-        tiles.append((i, j, w0, e0, blk))
-        next_block = max(next_block, blk + 1)
-    while next_block < n_blocks:
-        tiles.append((None, None, 0, 0, next_block))
-        next_block += 1
-
-    # Pad the tile count to a power of two with trailing accumulation tiles
-    # (same block as the last tile, all-masked).
-    n_tiles = len(tiles)
-    target = _pow2_round(n_tiles) if bucket_tiles else n_tiles
-    while len(tiles) < target:
-        tiles.append((None, None, 0, 0, tiles[-1][4]))
-
-    t_count = len(tiles)
-    src_rel = np.zeros((t_count, tile), np.int32)
-    dst_rel = np.zeros((t_count, tile), np.int32)
-    m = np.zeros((t_count, tile), np.float32)
-    ex_rel = np.zeros((t_count, tile), np.int32) if has_extra else None
-    win_start = np.zeros(t_count, np.int32)
-    ex_start = np.zeros(t_count, np.int32) if has_extra else None
-    out_block = np.zeros(t_count, np.int32)
-
-    for t, (i, j, w0, e0, blk) in enumerate(tiles):
-        out_block[t] = blk
-        win_start[t] = w0
-        if has_extra:
-            ex_start[t] = e0
-        if i is None:
-            continue
-        cnt = j - i
-        src_rel[t, :cnt] = src[i:j] - w0
-        dst_rel[t, :cnt] = dst[i:j] - blk * block
-        m[t, :cnt] = weights[i:j]
-        if has_extra:
-            ex_rel[t, :cnt] = extra_v[i:j] - e0
-        assert src_rel[t].max() < window and src_rel[t].min() >= 0
-        assert dst_rel[t].max() < block and dst_rel[t].min() >= 0
-
-    # Shape [tiles, 1, T]: Pallas TPU block shapes must have their last two
-    # dims divisible by (8, 128) OR equal to the array dims; (1, T) blocks on
-    # a [tiles, 1, T] array satisfy the latter.
-    def _r(a):
-        return None if a is None else a[:, None, :]
-
-    return TilePlan(
-        src_rel=_r(src_rel), dst_rel=_r(dst_rel), mask=_r(m),
-        extra_rel=_r(ex_rel),
-        win_start=win_start, extra_start=ex_start, out_block=out_block,
-        tile=tile, window=window, block=block,
-        num_src=num_src_pad, num_extra=num_extra_pad, num_dst=num_dst_pad,
-        passes=passes, empty=(len(dst) == 0))
+    assert plan.src_rel.max(initial=0) < window and plan.src_rel.min(initial=0) >= 0
+    assert plan.dst_rel.max(initial=0) < block and plan.dst_rel.min(initial=0) >= 0
+    if ex_rel is not None:
+        assert plan.extra_rel.max(initial=0) < window
+        assert plan.extra_rel.min(initial=0) >= 0
+    return plan
