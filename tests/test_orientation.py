@@ -68,6 +68,34 @@ def test_oriented_conv_equivariance_breaks_with_relu():
     assert not np.allclose(out0, out1, atol=1e-5)
 
 
+def test_edge_orient_invariant_on_tile_plan_path():
+    """Orientation invariance must also hold on the Pallas tile-plan path
+    (add_tile_plans folds orientation weights into the plan mask) — and the
+    plan path must agree with the fallback segment-sum path."""
+    from cwn_tpu.batch import add_tile_plans
+    from cwn_tpu.ops import pallas_segment
+
+    pallas_segment.set_interpret(True)
+    try:
+        base = make_flow_samples("default", seed=5)
+        flipped = make_flow_samples("random", seed=5)
+        model = EdgeOrient(num_input_features=1, num_classes=2, num_layers=2,
+                           hidden=8, nonlinearity="id")
+        b_plain = _pack([c for c, _ in base])
+        b0 = add_tile_plans(b_plain, precision="exact")
+        b1 = add_tile_plans(_pack([c for c, _ in flipped]),
+                            precision="exact")
+        vs = model.init({"params": jax.random.PRNGKey(0)}, b_plain,
+                        train=False)
+        out_plain = np.asarray(model.apply(vs, b_plain, train=False))
+        out0 = np.asarray(model.apply(vs, b0, train=False))
+        out1 = np.asarray(model.apply(vs, b1, train=False))
+        assert np.allclose(out_plain, out0, atol=1e-4)
+        assert np.allclose(out0, out1, atol=1e-4)
+    finally:
+        pallas_segment.set_interpret(False)
+
+
 def test_edge_mpnn_runs():
     base = make_flow_samples("default", seed=3)
     model = EdgeMPNN(num_input_features=1, num_classes=2, num_layers=2,
