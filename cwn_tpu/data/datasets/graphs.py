@@ -32,6 +32,29 @@ def graph_to_complex(g: Graph) -> Complex:
     return Complex(cochain, y=complex_y, dimension=0)
 
 
+def load_synth_graph_dataset(num_graphs: int = 32,
+                             seed: int = 0) -> ComplexDatasetSpec:
+    """Synthetic plain-graph dataset (GRAPH-SYNTH) so the GIN baseline
+    path is exercisable offline (the TU raw files are gated)."""
+    from cwn_tpu.data.synthetic import synthetic_molecules
+    graphs = synthetic_molecules(num_graphs, seed=seed)
+    rng = np.random.default_rng(seed)
+    out = []
+    for g in graphs:
+        x = np.asarray(g.x, np.float32).reshape(g.num_nodes, -1)
+        y = np.array([int(rng.integers(0, 2))])
+        out.append(Graph(x=x, edge_index=g.edge_index, y=y))
+    complexes = [graph_to_complex(g) for g in out]
+    n = len(complexes)
+    split = max(1, int(0.8 * n))
+    return ComplexDatasetSpec(
+        name="GRAPH-SYNTH", complexes=complexes,
+        train_ids=list(range(split)), val_ids=list(range(split, n)),
+        test_ids=list(range(split, n)), max_dim=0,
+        num_features=[complexes[0].cochains[0].x.shape[1]],
+        num_classes=2, task_type="classification", eval_metric="accuracy")
+
+
 def load_graph_dataset(name: str, fold: int = 0, seed: int = 0,
                        root: Optional[str] = None) -> ComplexDatasetSpec:
     """Plain-graph TU datasets for GIN baselines (gin/gin_jk models)."""

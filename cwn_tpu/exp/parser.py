@@ -38,7 +38,10 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--emb_dim", type=int, default=64)
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--epochs", type=int, default=100)
-    parser.add_argument("--num_workers", type=int, default=0)
+    parser.add_argument("--num_workers", type=int, default=0,
+                        help="accepted for reference-script compatibility; "
+                             "packing is in-process (the device-prefetch "
+                             "loader overlaps H2D with compute instead)")
     parser.add_argument("--dataset", type=str, default="PROTEINS")
     parser.add_argument("--task_type", type=str, default="classification")
     parser.add_argument("--eval_metric", type=str, default="accuracy")
@@ -70,6 +73,14 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--pad_multiple", type=int, default=128)
     parser.add_argument("--n_devices", type=int, default=1,
                         help="data-parallel devices (mesh size)")
+    parser.add_argument("--use_pallas", type=str, default="auto",
+                        choices=["auto", "true", "false"],
+                        help="fused Pallas kernels for the hot adjacency "
+                             "channels; 'auto' enables them on the TPU "
+                             "backend (fp32 training only)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of a few train "
+                             "steps to this directory")
     parser.add_argument("--train_eps", type=str, default="False")
     parser.add_argument("--checkpoint_dir", type=str, default=None,
                         help="save train state every --checkpoint_period "
@@ -81,19 +92,68 @@ def get_parser() -> argparse.ArgumentParser:
 def validate_args(args):
     """Dataset-specific invariant checks
     (parity: /root/reference/exp/parser.py:120-187)."""
-    if args.dataset.upper() in ("ZINC", "ZINC-FULL", "ZINC-SYNTH"):
+    name = args.dataset.upper()
+    if name in ("ZINC", "ZINC-FULL", "ZINC-SYNTH"):
         assert args.model.startswith("embed")
+        if args.model in ("embed_cin++", "embed_cin_pp"):
+            assert args.include_down_adj
         assert args.eval_metric == "mae"
         assert args.task_type == "regression"
         assert args.minimize
         assert args.lr_scheduler == "ReduceLROnPlateau"
-    if args.dataset.upper().startswith("SR"):
+        assert not args.simple_features
+    if name == "CSL":
+        assert args.model == "embed_sparse_cin"
+        assert args.task_type == "classification"
+        assert not args.minimize
+        assert args.lr_scheduler == "ReduceLROnPlateau"
+        assert args.eval_metric == "accuracy"
+        assert args.fold is not None or args.folds is not None
+        assert not args.simple_features
+        assert args.graph_norm == "ln"
+    if name in ("RING-TRANSFER", "RING-LOOKUP"):
+        assert args.model in ("ring_sparse_cin", "ring_gin")
+        assert args.task_type == "classification"
+        assert not args.minimize
+        assert args.lr_scheduler in (None, "None")
+        assert args.eval_metric == "accuracy"
+        assert args.fold is None
+        assert not args.simple_features
+        if args.max_ring_size is not None:
+            assert args.max_ring_size > 3
+        if args.model == "ring_sparse_cin":
+            assert args.graph_norm == "id"
+        if args.model == "ring_gin":
+            assert args.graph_norm == "bn"
+    if name.startswith("SR"):
+        assert args.model in ("sparse_cin", "mp_agnostic")
         assert args.untrained
         assert args.task_type == "isomorphism"
         assert args.eval_metric == "isomorphism"
         assert args.nonlinearity == "elu"
-    if args.dataset.startswith("ogbg-mol") or args.dataset.upper() == "MOLHIV-SYNTH":
-        assert args.task_type == "bin_classification"
-    if args.dataset.upper() in ("FLOW", "OCEAN"):
+        assert args.jump_mode is None
+        assert args.drop_rate == 0.0
+        assert args.readout == "sum"
+        assert args.final_readout == "sum"
+        assert not args.simple_features
+    if args.dataset.startswith("ogbg-mol") or name == "MOLHIV-SYNTH":
+        if args.dataset.lower() in ("ogbg-molesol", "ogbg-molfreesolv",
+                                    "ogbg-mollipo"):
+            assert args.task_type == "mse_regression"
+            assert args.minimize
+        else:
+            assert args.task_type == "bin_classification"
+            assert not args.minimize
+        assert args.jump_mode is None
+    if name in ("FLOW", "OCEAN"):
         assert args.model in ("edge_orient", "edge_mpnn")
         assert args.nonlinearity in ("id", "tanh") or args.fully_orient_invar
+        assert args.eval_metric == "accuracy"
+        assert args.task_type == "classification"
+        assert args.jump_mode is None
+        assert args.drop_rate == 0.0
+        assert not args.untrained
+        assert not args.simple_features
+        assert not args.minimize
+        assert args.train_orient in ("default", "random")
+        assert args.test_orient in ("default", "random")

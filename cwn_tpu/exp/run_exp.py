@@ -181,13 +181,28 @@ def main(args) -> Dict:
 
     gin_family = args.model in ("gin", "gin0", "gin_jk", "gin0_jk")
     from cwn_tpu.data.datasets.tu import TU_DATASETS
-    if gin_family and args.dataset.upper() in TU_DATASETS:
+    if gin_family and args.dataset.upper() == "GRAPH-SYNTH":
+        from cwn_tpu.data.datasets.graphs import load_synth_graph_dataset
+        dataset = load_synth_graph_dataset(seed=0)
+    elif gin_family and args.dataset.upper() in TU_DATASETS:
         # GIN baselines consume plain graphs (parity:
         # /root/reference/data/data_loading.py:198-258).
         from cwn_tpu.data.datasets.graphs import load_graph_dataset
         dataset = load_graph_dataset(args.dataset.upper(),
                                      fold=args.fold or 0, seed=0)
     else:
+        # Orientation protocol flags reach the trajectory loaders
+        # (parity: /root/reference/exp/run_exp.py:79-84 — flow_points /
+        # train_orient / test_orient; flow_classes is parsed but unused by
+        # the reference's FlowDataset too).
+        extra = {}
+        if args.dataset.upper() == "FLOW":
+            extra = dict(num_points=args.flow_points,
+                         train_orient=args.train_orient,
+                         test_orient=args.test_orient)
+        elif args.dataset.upper() == "OCEAN":
+            extra = dict(train_orient=args.train_orient,
+                         test_orient=args.test_orient)
         dataset = load_dataset(
             args.dataset, fold=args.fold, seed=0, max_dim=args.max_dim,
             max_ring_size=args.max_ring_size,
@@ -195,16 +210,36 @@ def main(args) -> Dict:
             init_method=args.init_method,
             use_edge_features=args.use_edge_features,
             simple_features=getattr(args, "simple_features", False),
-            n_jobs=args.preproc_jobs)
+            n_jobs=args.preproc_jobs, **extra)
+
+    # Pallas fast path: the default on TPU (the reference's fused
+    # torch-scatter path is likewise its default, /root/reference/mp/
+    # cell_mp.py:423-479); fp64 isomorphism runs keep the XLA oracle.
+    use_pallas = getattr(args, "use_pallas", "auto")
+    if use_pallas == "auto":
+        use_pallas = (jax.default_backend() == "tpu"
+                      and args.task_type != "isomorphism"
+                      and args.device >= 0)
+    else:
+        use_pallas = use_pallas == "true"
+
+    n_devices = max(1, int(getattr(args, "n_devices", 1)))
+
+    if getattr(args, "tune", False):
+        # Parity note: the reference's tune split raises NotImplementedError
+        # (/root/reference/data/datasets/tu.py:123-129); run_tu_tuning uses
+        # the standard folds, and so do we.
+        print("NOTE: --tune runs on the standard split "
+              "(reference tune split is unimplemented)")
 
     keep_top = args.model in ("edge_orient", "edge_mpnn") or \
         (gin_family and dataset.max_dim == 0)
-    mk_loader = lambda split, shuffle: ComplexLoader(
+    mk_loader = lambda split, shuffle, shards=1: ComplexLoader(
         dataset.split(split), batch_size=args.batch_size,
         max_dim=dataset.max_dim, shuffle=shuffle, seed=args.seed,
         pad_multiple=args.pad_multiple, keep_top_upper=keep_top,
-        x_dtype=x_dtype)
-    train_loader = mk_loader("train", True)
+        x_dtype=x_dtype, use_pallas=use_pallas, n_shards=shards)
+    train_loader = mk_loader("train", True, n_devices)
     val_loader = mk_loader("val", False)
     test_loader = mk_loader("test", False)
 
@@ -223,7 +258,10 @@ def main(args) -> Dict:
         early_stop=args.early_stop, seed=args.seed, iso_eps=args.iso_eps)
 
     example = next(iter(train_loader))
-    trainer = Trainer(model, cfg, example)
+    trainer = Trainer(model, cfg, example, n_devices=n_devices)
+
+    # Parameter table (parity: /root/reference/exp/run_exp.py:330-340).
+    print(trainer.param_table())
 
     if args.task_type == "isomorphism":
         # Cast everything to fp64 and evaluate untrained embeddings.
@@ -264,6 +302,18 @@ def main(args) -> Dict:
             start_epoch = restored + 1
             print(f"Resumed from checkpoint at epoch {restored}")
 
+    # Optional jax.profiler trace of the first post-compile train steps.
+    if getattr(args, "profile_dir", None):
+        from cwn_tpu.utils.profiling import trace
+        warm = iter(train_loader)
+        trainer.train_batch(next(warm))   # compile outside the trace
+        with trace(args.profile_dir):
+            for _ in range(3):
+                try:
+                    trainer.train_batch(next(warm))
+                except StopIteration:
+                    break
+
     best_val = -np.inf if not cfg.minimize else np.inf
     for epoch in range(start_epoch,
                        args.epochs if not args.untrained else 0):
@@ -280,9 +330,12 @@ def main(args) -> Dict:
         curves["test"].append(test["metric"])
         curves["train_loss"].append(float(np.mean(losses)) if losses else np.nan)
         trainer.scheduler.step(val["metric"])
+        st = trainer.step_timer.summary()
         print(f"epoch {epoch:3d}: loss={curves['train_loss'][-1]:.4f} "
               f"val={val['metric']:.4f} test={test['metric']:.4f} "
-              f"lr={trainer.lr:.2e} ({time.time() - t0:.1f}s)")
+              f"lr={trainer.lr:.2e} "
+              f"(step p50 {1e3 * st.get('p50_s', float('nan')):.1f}ms, "
+              f"{time.time() - t0:.1f}s)")
         if ckpt is not None and (epoch + 1) % args.checkpoint_period == 0:
             # NaN is not valid JSON: ship curve gaps as None.
             ckpt.save(epoch, trainer, extra={"curves": {

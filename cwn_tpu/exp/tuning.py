@@ -51,19 +51,39 @@ def run_tuning(base_args: List[str], grid: Dict[str, List],
 
 
 def load_yaml_grid(path: str) -> Dict[str, List]:
-    """Minimal YAML subset reader for `key: [a, b, c]` grid files (avoids a
-    yaml dependency)."""
-    grid = {}
+    """Minimal YAML subset reader for grid files (avoids a yaml dep).
+
+    Supports both inline `key: [a, b, c]` lists and the reference
+    template's block form (`key:` followed by `- value` lines —
+    /root/reference/exp/tuning_configurations/template.yml), plus scalar
+    entries like `dataset: NCI109` (returned as 1-element lists)."""
+    grid: Dict[str, List] = {}
+    current = None
     with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith("#") or ":" not in line:
+        for raw in f:
+            line = raw.split("#", 1)[0].rstrip()
+            if not line.strip():
                 continue
-            key, val = line.split(":", 1)
-            val = val.strip()
+            stripped = line.strip()
+            if stripped.startswith("- ") or stripped == "-":
+                if current is None:
+                    continue
+                grid[current].append(_coerce(stripped[1:].strip()))
+                continue
+            if ":" not in stripped:
+                continue
+            key, val = stripped.split(":", 1)
+            key, val = key.strip(), val.strip()
             if val.startswith("[") and val.endswith("]"):
                 items = [v.strip() for v in val[1:-1].split(",") if v.strip()]
-                grid[key.strip()] = [_coerce(v) for v in items]
+                grid[key] = [_coerce(v) for v in items]
+                current = None
+            elif val:
+                grid[key] = [_coerce(val)]
+                current = None
+            else:
+                grid[key] = []
+                current = key
     return grid
 
 

@@ -11,7 +11,6 @@ dependency.
 """
 from __future__ import annotations
 
-import itertools
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -21,53 +20,94 @@ from cwn_tpu.complex import Cochain, Complex
 VertexTuple = Tuple[int, ...]
 
 
-def boundaries_to_coboundaries(boundaries_tables: List[List[List[int]]],
-                               num_cells_per_dim: List[int]) -> List[List[List[int]]]:
-    """coboundaries[k][cell_id] = ids of (k+1)-cells having cell_id as boundary.
+def _flatten_table(table: List[List[int]]):
+    """(flat member ids, per-row counts) for a list of int lists."""
+    counts = np.fromiter((len(r) for r in table), np.int64, len(table))
+    total = int(counts.sum())
+    flat = np.fromiter((m for r in table for m in r), np.int64, total)
+    return flat, counts
 
-    Coboundary lists are recorded in the id order of the (k+1)-cells, matching
-    the insertion order the reference obtains while scanning cells.
+
+def _pairs_cellmajor(member_lists, ids: np.ndarray):
+    """Both directed pairs between the members of every group, in the
+    reference's exact emission order: group-major, `itertools.combinations`
+    pair order within a group, the two directions interleaved
+    (/root/reference/data/utils.py:103-138 `build_adj`).
+
+    Vectorised by bucketing groups by size and scattering each bucket's
+    block into its precomputed output offsets — O(total pairs) numpy work
+    instead of a Python loop per pair (the old loop dominated dense-SR
+    ring-6 lifts).
+
+    Returns (pairs [E, 2], group_tag [E]) int64 arrays.
     """
-    num_dims = len(boundaries_tables)
-    coboundaries: List[List[List[int]]] = [
-        [[] for _ in range(num_cells_per_dim[k])] for k in range(num_dims)]
-    for k in range(1, num_dims):
-        for cell_id, bnds in enumerate(boundaries_tables[k]):
-            for b in bnds:
-                coboundaries[k - 1][b].append(cell_id)
-    return coboundaries
+    n = len(member_lists)
+    lengths = np.fromiter((len(m) for m in member_lists), np.int64, n)
+    out_counts = lengths * (lengths - 1)          # 2 * C(L, 2)
+    offsets = np.concatenate([[0], np.cumsum(out_counts)])
+    total = int(offsets[-1])
+    pairs = np.empty((total, 2), np.int64)
+    tags = np.empty(total, np.int64)
+    for length in np.unique(lengths):
+        length = int(length)
+        if length < 2:
+            continue
+        sel = np.nonzero(lengths == length)[0]
+        arr = np.asarray([member_lists[i] for i in sel], np.int64)
+        iu, ju = np.triu_indices(length, k=1)     # == combinations order
+        fwd = np.stack([arr[:, iu], arr[:, ju]], axis=-1)      # [R, P, 2]
+        bwd = fwd[:, :, ::-1]
+        block = np.stack([fwd, bwd], axis=2).reshape(len(sel), -1, 2)
+        dst = (offsets[sel][:, None]
+               + np.arange(2 * len(iu))[None, :]).ravel()
+        pairs[dst] = block.reshape(-1, 2)
+        tags[dst] = np.repeat(ids[sel], 2 * len(iu))
+    return pairs, tags
 
 
 def build_adjacencies(boundaries_tables: List[List[List[int]]],
-                      coboundaries: List[List[List[int]]],
                       complex_dim: int,
                       include_down_adj: bool):
-    """Upper/lower adjacency edge lists per dimension.
+    """Upper/lower adjacency per dimension, as numpy arrays.
 
     Two k-cells are upper adjacent iff they are both boundaries of a common
     (k+1)-cell (the shared coboundary); lower adjacent iff they share a common
     (k-1)-boundary.  Every unordered pair contributes both directed edges.
-    Mirrors /root/reference/data/utils.py:103-138 (build_adj).
+    Mirrors /root/reference/data/utils.py:103-138 (build_adj), including the
+    emission order (see _pairs_cellmajor).
+
+    Returns (upper, lower, shared_cob, shared_bnd) where upper[k]/lower[k]
+    are [E, 2] int64 arrays and shared_cob[k]/shared_bnd[k] are [E].
     """
-    upper: List[List[List[int]]] = [[] for _ in range(complex_dim + 1)]
-    lower: List[List[List[int]]] = [[] for _ in range(complex_dim + 1)]
-    shared_cob: List[List[int]] = [[] for _ in range(complex_dim + 1)]
-    shared_bnd: List[List[int]] = [[] for _ in range(complex_dim + 1)]
+    empty = lambda: (np.zeros((0, 2), np.int64), np.zeros(0, np.int64))
+    upper = [empty()[0] for _ in range(complex_dim + 1)]
+    lower = [empty()[0] for _ in range(complex_dim + 1)]
+    shared_cob = [empty()[1] for _ in range(complex_dim + 1)]
+    shared_bnd = [empty()[1] for _ in range(complex_dim + 1)]
 
     for dim in range(1, complex_dim + 1):
         # Upper adjacency between the boundaries of each dim-cell.
-        for cell_id, bnds in enumerate(boundaries_tables[dim]):
-            for id1, id2 in itertools.combinations(bnds, 2):
-                upper[dim - 1].extend([[id1, id2], [id2, id1]])
-                shared_cob[dim - 1].extend([cell_id, cell_id])
+        table = boundaries_tables[dim]
+        ids = np.arange(len(table), dtype=np.int64)
+        upper[dim - 1], shared_cob[dim - 1] = _pairs_cellmajor(table, ids)
 
     if include_down_adj:
         for dim in range(complex_dim):
-            # Lower adjacency between the coboundaries of each dim-cell.
-            for cell_id, cobs in enumerate(coboundaries[dim]):
-                for id1, id2 in itertools.combinations(cobs, 2):
-                    lower[dim + 1].extend([[id1, id2], [id2, id1]])
-                    shared_bnd[dim + 1].extend([cell_id, cell_id])
+            # Lower adjacency between the coboundaries of each dim-cell;
+            # the reference iterates (k-1)-cells in id order, each with its
+            # coboundaries in ascending (k+1 insertion) order — i.e. the
+            # (boundary, cell) pairs sorted by (boundary, cell).
+            table = boundaries_tables[dim + 1]
+            if not table:
+                continue
+            flat, counts = _flatten_table(table)
+            cells = np.repeat(np.arange(len(table), dtype=np.int64), counts)
+            order = np.lexsort((cells, flat))
+            flat, cells = flat[order], cells[order]
+            bnd_ids, starts = np.unique(flat, return_index=True)
+            groups = np.split(cells, starts[1:])
+            lower[dim + 1], shared_bnd[dim + 1] = _pairs_cellmajor(
+                groups, bnd_ids)
 
     return upper, lower, shared_cob, shared_bnd
 
@@ -76,8 +116,11 @@ def construct_cell_features(vx: np.ndarray, cell_tables: Sequence[List[VertexTup
                             init_method: str = "sum") -> List[Optional[np.ndarray]]:
     """Initialise higher-cell features by reducing member-vertex features.
 
-    Mirrors /root/reference/data/utils.py:141-155 (construct_features).
+    Mirrors /root/reference/data/utils.py:141-155 (construct_features);
+    vectorised by bucketing cells by member count.
     """
+    if init_method not in ("sum", "mean", "max"):
+        raise ValueError(f"Unknown init_method {init_method}")
     vx = np.asarray(vx)
     if vx.ndim == 1:
         vx = vx[:, None]
@@ -85,16 +128,17 @@ def construct_cell_features(vx: np.ndarray, cell_tables: Sequence[List[VertexTup
     for dim in range(1, len(cell_tables)):
         cells = cell_tables[dim]
         out = np.zeros((len(cells), vx.shape[1]), dtype=vx.dtype)
-        for c, cell in enumerate(cells):
-            members = vx[list(cell)]
+        lengths = np.fromiter((len(c) for c in cells), np.int64, len(cells))
+        for length in np.unique(lengths):
+            sel = np.nonzero(lengths == int(length))[0]
+            arr = np.asarray([cells[i] for i in sel], np.int64)
+            members = vx[arr]                     # [R, L, F]
             if init_method == "sum":
-                out[c] = members.sum(axis=0)
+                out[sel] = members.sum(axis=1)
             elif init_method == "mean":
-                out[c] = members.mean(axis=0)
-            elif init_method == "max":
-                out[c] = members.max(axis=0)
+                out[sel] = members.mean(axis=1)
             else:
-                raise ValueError(f"Unknown init_method {init_method}")
+                out[sel] = members.max(axis=1)
         features.append(out)
     return features
 
@@ -123,29 +167,25 @@ def build_complex_from_cells(cell_tables: List[List[VertexTuple]],
     """Assemble a Complex from cell tables + per-cell boundary ids + features."""
     complex_dim = len(cell_tables) - 1
     num_cells_per_dim = [len(t) for t in cell_tables]
-    coboundaries = boundaries_to_coboundaries(boundaries_tables, num_cells_per_dim)
     upper, lower, shared_cob, shared_bnd = build_adjacencies(
-        boundaries_tables, coboundaries, complex_dim, include_down_adj)
+        boundaries_tables, complex_dim, include_down_adj)
 
     cochains = []
     for dim in range(complex_dim + 1):
         n = num_cells_per_dim[dim]
-        up_index = (np.array(upper[dim], dtype=np.int64).T
-                    if len(upper[dim]) else None)
-        down_index = (np.array(lower[dim], dtype=np.int64).T
-                      if len(lower[dim]) else None)
-        sc = np.array(shared_cob[dim], dtype=np.int64) if len(shared_cob[dim]) else None
-        sb = np.array(shared_bnd[dim], dtype=np.int64) if len(shared_bnd[dim]) else None
+        up_index = upper[dim].T if len(upper[dim]) else None
+        down_index = lower[dim].T if len(lower[dim]) else None
+        sc = shared_cob[dim] if len(shared_cob[dim]) else None
+        sb = shared_bnd[dim] if len(shared_bnd[dim]) else None
 
         boundary_index = None
         if dim > 0 and len(boundaries_tables[dim]) > 0:
-            rows0, rows1 = [], []
-            for cell_id, bnds in enumerate(boundaries_tables[dim]):
-                for b in bnds:
-                    rows0.append(b)
-                    rows1.append(cell_id)
-            if rows0:
-                boundary_index = np.array([rows0, rows1], dtype=np.int64)
+            flat, counts = _flatten_table(boundaries_tables[dim])
+            if len(flat):
+                rows1 = np.repeat(
+                    np.arange(len(boundaries_tables[dim]), dtype=np.int64),
+                    counts)
+                boundary_index = np.stack([flat, rows1])
 
         cochains.append(Cochain(
             dim=dim,

@@ -16,9 +16,10 @@ For that to work each tile must satisfy, by construction here:
 
 num_tiles is padded to a bucket size so jit compiles O(log) shapes.
 
-Planning is fully vectorised (one lexsort + an O(num_tiles) boundary scan
-with numpy ops): plans for millions of edges build in milliseconds, so the
-data loader can plan every batch on the fly.  Within each dst segment the
+Planning is one lexsort plus an O(num_tiles) Python boundary scan (one
+searchsorted per emitted tile): cheap for the few-thousand-tile plans the
+loader builds per batch; vectorise the scan if per-batch planning ever
+profiles hot.  Within each dst segment the
 edges are re-sorted by src so the src window of a growing tile is just
 [src[i], src[j-1]] — intra-tile edge order is irrelevant to the kernel
 (one-hot matmuls accumulate), inter-tile block order is preserved.
@@ -274,9 +275,15 @@ def build_tile_plan_auto(src, dst, mask, num_src: int, num_dst: int,
     only the winner is materialised."""
     s, d, w, e = _sorted_valid(src, dst, mask, extra)
     n = len(d)
-    blocks = sorted({block // 2, block, 2 * block, 4 * block} - {64})
-    tiles_c = sorted({tile // 2, tile} - {64})
-    windows = sorted({window // 2, window, 2 * window, 4 * window} - {64})
+    # The kernels are only validated for >=128 geometries (one-hot matmul
+    # operands must tile the 128-lane MXU); filter candidates accordingly
+    # rather than assuming the defaults' halves land exactly on 64.
+    MIN_GEOM = 128
+    blocks = sorted(c for c in {block // 2, block, 2 * block, 4 * block}
+                    if c >= MIN_GEOM)
+    tiles_c = sorted(c for c in {tile // 2, tile} if c >= MIN_GEOM)
+    windows = sorted(c for c in {window // 2, window, 2 * window, 4 * window}
+                     if c >= MIN_GEOM)
     best, best_cost = None, None
     for b in blocks:
         num_dst_pad = _round_up(max(num_dst, b), b)

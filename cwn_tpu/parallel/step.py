@@ -25,7 +25,7 @@ def stack_shards(batches) -> ComplexBatch:
 
 def make_dp_train_step(model, tx, mesh: Mesh, loss_fn: Callable,
                        axis: str = "data", donate: bool = True,
-                       sync_bn: bool = True):
+                       sync_bn: bool = True, inject_lr: bool = False):
     """Build a jitted data-parallel train step.
 
     loss_fn(outputs, y, y_mask) -> (loss_sum, weight_sum); sums are psum'd
@@ -35,6 +35,9 @@ def make_dp_train_step(model, tx, mesh: Mesh, loss_fn: Callable,
 
     Returns step(params, batch_stats, opt_state, stacked_batch, rng)
       -> (params, batch_stats, opt_state, loss).
+    With inject_lr=True the step takes a trailing `lr` argument and `tx`
+    must be an optax.inject_hyperparams optimizer (the Trainer's scheduler
+    path).
     """
     from cwn_tpu.nn import sync_bn_axis
 
@@ -75,4 +78,12 @@ def make_dp_train_step(model, tx, mesh: Mesh, loss_fn: Callable,
         new_params = optax.apply_updates(params, updates)
         return new_params, new_bs, new_opt, loss
 
-    return step
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
+    def step_lr(params, batch_stats, opt_state, stacked_batch, rng, lr):
+        loss, grads, new_bs = mapped(params, batch_stats, stacked_batch, rng)
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_bs, new_opt, loss
+
+    return step_lr if inject_lr else step

@@ -167,13 +167,26 @@ class TrainConfig:
 
 
 class Trainer:
-    """Owns model variables + optimizer + schedulers; runs epochs."""
+    """Owns model variables + optimizer + schedulers; runs epochs.
 
-    def __init__(self, model, config: TrainConfig, example_batch: ComplexBatch):
+    n_devices > 1 switches the train step to the data-parallel shard_map
+    path (cwn_tpu.parallel.step) over a ('data',) mesh: the loader then
+    must yield stacked per-device batches (ComplexLoader(n_shards=n)).
+    Eval stays single-device (parameters are replicated)."""
+
+    def __init__(self, model, config: TrainConfig, example_batch: ComplexBatch,
+                 n_devices: int = 1):
+        from cwn_tpu.utils.profiling import StepTimer
+
         self.model = model
         self.config = config
+        self.n_devices = max(1, n_devices)
+        self.step_timer = StepTimer(warmup=2)
         self.rng = jax.random.PRNGKey(config.seed)
         self.rng, init_rng = jax.random.split(self.rng)
+        if self.n_devices > 1:
+            # The example is a stacked shard batch; init on one shard.
+            example_batch = jax.tree.map(lambda a: a[0], example_batch)
         variables = model.init({"params": init_rng}, example_batch, train=False)
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
@@ -195,6 +208,27 @@ class Trainer:
     def _build_steps(self):
         model, loss_fn = self.model, self.loss_fn
 
+        if self.n_devices > 1 and loss_fn is not None:
+            from cwn_tpu.parallel import make_dp_train_step, make_mesh
+            devices = jax.devices()
+            if len(devices) < self.n_devices:
+                devices = jax.devices("cpu")
+            mesh = make_mesh(self.n_devices, devices=devices)
+            self._train_step = make_dp_train_step(
+                model, self.tx, mesh, loss_fn, inject_lr=True)
+        else:
+            self._train_step = self._single_device_step()
+
+        @jax.jit
+        def eval_step(params, batch_stats, batch):
+            return model.apply({"params": params, "batch_stats": batch_stats},
+                               batch, train=False)
+
+        self._eval_step = eval_step
+
+    def _single_device_step(self):
+        model, loss_fn = self.model, self.loss_fn
+
         # Donate the carried state: XLA then aliases params/opt-state
         # buffers across steps instead of copying them (the copy costs
         # ~3x the compute on small models).
@@ -214,13 +248,7 @@ class Trainer:
             updates, new_opt = self.tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), new_bs, new_opt, loss
 
-        @jax.jit
-        def eval_step(params, batch_stats, batch):
-            return model.apply({"params": params, "batch_stats": batch_stats},
-                               batch, train=False)
-
-        self._train_step = train_step
-        self._eval_step = eval_step
+        return train_step
 
     # -- epochs -----------------------------------------------------------
     @staticmethod
@@ -231,17 +259,23 @@ class Trainer:
         present = [c for c in counts if c > 0]
         return bool(present) and min(present) > 1
 
+    def train_batch(self, batch) -> float:
+        """One optimizer step on one (possibly shard-stacked) batch."""
+        self.rng, step_rng = jax.random.split(self.rng)
+        with self.step_timer:
+            self.params, self.batch_stats, self.opt_state, loss = \
+                self._train_step(self.params, self.batch_stats, self.opt_state,
+                                 batch, step_rng,
+                                 jnp.asarray(self.scheduler.lr, jnp.float32))
+            loss = float(loss)
+        return loss
+
     def train_epoch(self, loader) -> List[float]:
         curve = []
         for batch in loader:
             if not self._batch_trainable(batch):
                 continue
-            self.rng, step_rng = jax.random.split(self.rng)
-            self.params, self.batch_stats, self.opt_state, loss = \
-                self._train_step(self.params, self.batch_stats, self.opt_state,
-                                 batch, step_rng,
-                                 jnp.asarray(self.scheduler.lr, jnp.float32))
-            curve.append(float(loss))
+            curve.append(self.train_batch(batch))
         return curve
 
     def predict(self, loader) -> np.ndarray:
@@ -272,6 +306,21 @@ class Trainer:
         (parity: /root/reference/exp/run_exp.py:330-340)."""
         sizes = jax.tree.map(lambda a: int(np.prod(a.shape)), self.params)
         return int(sum(jax.tree.leaves(sizes)))
+
+    def param_table(self) -> str:
+        """Per-parameter table (name, shape, count) + total
+        (parity: /root/reference/exp/run_exp.py:330-340)."""
+        flat = jax.tree_util.tree_flatten_with_path(self.params)[0]
+        lines = ["===== Model parameters ====="]
+        total = 0
+        for path, leaf in flat:
+            name = jax.tree_util.keystr(path).replace("'", "").strip("[]") \
+                .replace("][", "/")
+            n = int(np.prod(leaf.shape))
+            total += n
+            lines.append(f"{name:64s} {str(leaf.shape):18s} {n:>10d}")
+        lines.append(f"{'TOTAL':64s} {'':18s} {total:>10d}")
+        return "\n".join(lines)
 
     @property
     def lr(self) -> float:
