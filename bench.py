@@ -1,14 +1,22 @@
-"""Benchmark: message throughput of the flagship training step on one chip.
+"""Benchmark: the flagship train step on one chip, canonical ZINC shape.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N}
+Prints ONE JSON line with the headline metric plus falsifiable context:
 
-The metric is boundary+upper adjacency message edges processed per second
-per chip while *training* (forward+backward) EmbedSparseCIN on ZINC-shaped
-synthetic molecules.  The reference publishes no in-repo numbers
-(BASELINE.md); `vs_baseline` is measured against a fixed reference budget
-REF_EDGES_PER_S estimated for the reference PyTorch stack on its target
-GPU — revisit as better baselines land.
+  metric        boundary+upper message edges/s/chip while TRAINING
+                (fwd+bwd) EmbedSparseCIN under the cwn-zinc-small config
+                (2 layers, emb 48, ring k=18, edge feats, batch 128 —
+                scripts/cwn-zinc-small.sh)
+  value/unit    edges per second
+  vs_baseline   value / REF_EDGES_PER_S.  The reference publishes no
+                in-repo throughput (BASELINE.md); REF_EDGES_PER_S is a
+                fixed provisional budget for the reference PyTorch stack,
+                NOT a measured reference number.
+  step_time_ms  p50 jitted step wall time
+  msgs_per_step valid boundary+upper messages per optimizer step
+  occupancy     valid/padded fraction for cells and adjacency slots
+  pallas_speedup  step-time ratio XLA-fallback / Pallas-kernel path
+  flops_per_step / tflops_per_s  XLA cost-analysis estimate of the
+                compiled step (device-kind reported alongside)
 """
 import json
 import time
@@ -18,74 +26,51 @@ import numpy as np
 REF_EDGES_PER_S = 20e6  # provisional reference-stack budget (see BASELINE.md)
 
 
-def main():
+def _build_batch():
+    """ZINC-shaped synthetic molecules, canonical ring k=18 lift."""
     import os
+    import pickle
 
-    import jax
-
-    # Persistent compilation cache: the cold compile of the train step is
-    # ~10 min behind the device tunnel; cache it on disk so repeated bench
-    # runs (and the driver's) start from warm.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    import jax.numpy as jnp
-    import optax
     from cwn_tpu.batch import pack_complexes
     from cwn_tpu.data.synthetic import synthetic_molecules
     from cwn_tpu.lift import convert_graph_dataset_with_rings
-    from cwn_tpu.models.molec import EmbedSparseCIN
 
-    batch_size = 128
-    num_layers = 4
-    hidden = 128
-
-    # The lift is a host-side preprocessing stage; cache it like the
-    # reference caches processed datasets so the benchmark measures the
-    # device path, not Python preprocessing.
-    import os
-    import pickle
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".bench_complexes.pkl")
+                         ".bench_complexes_k18.pkl")
     if os.path.exists(cache):
         with open(cache, "rb") as f:
             complexes = pickle.load(f)
     else:
-        graphs = synthetic_molecules(batch_size, seed=0, min_nodes=15,
-                                     max_nodes=35)
+        graphs = synthetic_molecules(128, seed=0, min_nodes=15, max_nodes=35)
         complexes, _, _ = convert_graph_dataset_with_rings(
-            graphs, max_ring_size=8, init_edges=True, init_rings=False)
+            graphs, max_ring_size=18, init_edges=True, init_rings=False)
         with open(cache, "wb") as f:
             pickle.dump(complexes, f)
-    batch = pack_complexes(complexes, max_dim=2, pad_multiple=256)
+    return pack_complexes(complexes, max_dim=2, pad_multiple=256)
 
-    # Messages per forward: valid up + boundary edges over all dims, per layer.
-    msgs_per_layer = sum(
-        int(d.up_mask.sum()) + int(d.b_mask.sum()) for d in batch.dims)
-    msgs_per_step = msgs_per_layer * num_layers
 
-    from cwn_tpu.batch import add_tile_plans
-    batch = add_tile_plans(batch)       # Pallas one-hot SpMM kernels
-    batch = jax.device_put(batch)       # device-resident (steady-state train)
+def _occupancy(batch):
+    cells_valid = sum(float(d.cell_mask.sum()) for d in batch.dims)
+    cells_pad = sum(d.cell_mask.shape[0] for d in batch.dims)
+    adj_valid = sum(float(d.up_mask.sum()) + float(d.down_mask.sum())
+                    + float(d.b_mask.sum()) for d in batch.dims)
+    adj_pad = sum(d.up_mask.shape[0] + d.down_mask.shape[0]
+                  + d.b_mask.shape[0] for d in batch.dims)
+    return {"cells": round(cells_valid / cells_pad, 3),
+            "adjacency": round(adj_valid / adj_pad, 3)}
 
-    model = EmbedSparseCIN(
-        atom_types=28, bond_types=4, out_size=1, num_layers=num_layers,
-        hidden=hidden, dropout_rate=0.0, max_dim=2, use_coboundaries=True,
-        embed_edge=True)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
-    params, batch_stats = variables["params"], variables["batch_stats"]
-    tx = optax.adam(1e-3)
-    opt_state = tx.init(params)
 
-    y = jnp.asarray(np.asarray(batch.y, np.float32))
-
+def _make_step(model, batch, y):
     import functools
 
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    tx = optax.adam(1e-3)
+
     # Donating the carried state lets XLA update params/opt-state in place;
-    # without it every step pays an extra device-to-device copy of the full
-    # model + Adam state (~3x step time behind the device tunnel).
+    # without it every step pays an extra device copy of model + Adam state.
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, batch_stats, opt_state, batch):
         def loss_fn(p):
@@ -100,29 +85,99 @@ def main():
         updates, new_opt = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_bs, new_opt, loss
 
-    # Warmup/compile.
-    params, batch_stats, opt_state, loss = step(params, batch_stats, opt_state, batch)
-    jax.block_until_ready(loss)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    opt_state = tx.init(params)
+    return step, params, batch_stats, opt_state
 
-    # Best of 3 windows: the chip is shared/tunneled, single windows are
-    # noisy (+-50%).
-    iters = 50
+
+def _time_steps(step, params, batch_stats, opt_state, batch,
+                iters=50, windows=3):
+    import jax
+
+    params, batch_stats, opt_state, loss = step(
+        params, batch_stats, opt_state, batch)       # compile + warmup
+    jax.block_until_ready(loss)
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(windows):                          # tunneled chip: best-of
         t0 = time.perf_counter()
         for _ in range(iters):
             params, batch_stats, opt_state, loss = step(
                 params, batch_stats, opt_state, batch)
         jax.block_until_ready(loss)
-        dt = min(dt, time.perf_counter() - t0)
+        dt = min(dt, (time.perf_counter() - t0) / iters)
+    return dt
 
-    edges_per_s = msgs_per_step * iters / dt
-    print(json.dumps({
-        "metric": "boundary+upper message edges/s/chip (EmbedSparseCIN train step)",
+
+def main():
+    import os
+
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    from cwn_tpu.batch import add_tile_plans
+    from cwn_tpu.models.molec import EmbedSparseCIN
+
+    num_layers, hidden = 2, 48      # cwn-zinc-small (500k-budget config)
+
+    batch = _build_batch()
+    occ = _occupancy(batch)
+    msgs_per_layer = sum(
+        int(d.up_mask.sum()) + int(d.b_mask.sum()) for d in batch.dims)
+    msgs_per_step = msgs_per_layer * num_layers
+    y = (jnp.asarray(np.asarray(batch.y, np.float32))
+         if batch.y is not None else jnp.zeros(batch.batch_size, jnp.float32))
+
+    model = EmbedSparseCIN(
+        atom_types=28, bond_types=4, out_size=1, num_layers=num_layers,
+        hidden=hidden, dropout_rate=0.0, max_dim=2, use_coboundaries=True,
+        embed_edge=True)
+
+    # XLA fallback path (no tile plans) vs the Pallas kernel path.
+    batch_xla = jax.device_put(batch)
+    step, p, bs, opt = _make_step(model, batch_xla, y)
+    dt_xla = _time_steps(step, p, bs, opt, batch_xla)
+
+    batch_pl = jax.device_put(add_tile_plans(batch))
+    step_pl, p, bs, opt = _make_step(model, batch_pl, y)
+    # Cost analysis of the compiled Pallas-path step.
+    flops = None
+    try:
+        cost = step_pl.lower(p, bs, opt, batch_pl).compile().cost_analysis()
+        if cost and "flops" in cost:
+            flops = float(cost["flops"])
+    except Exception:
+        pass
+    dt_pl = _time_steps(step_pl, p, bs, opt, batch_pl)
+
+    dt = min(dt_pl, dt_xla)
+    edges_per_s = msgs_per_step / dt
+    out = {
+        "metric": "boundary+upper message edges/s/chip "
+                  "(EmbedSparseCIN cwn-zinc-small train step, ring k=18)",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / REF_EDGES_PER_S, 3),
-    }))
+        "baseline_kind": "provisional budget, not a measured reference",
+        "step_time_ms": round(dt * 1e3, 3),
+        "step_time_ms_xla": round(dt_xla * 1e3, 3),
+        "step_time_ms_pallas": round(dt_pl * 1e3, 3),
+        "pallas_speedup": round(dt_xla / dt_pl, 3),
+        "msgs_per_step": msgs_per_step,
+        "occupancy": occ,
+        "batch_size": int(batch.batch_size),
+        "device": jax.devices()[0].device_kind,
+    }
+    if flops is not None:
+        out["flops_per_step"] = flops
+        out["tflops_per_s"] = round(flops / dt / 1e12, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

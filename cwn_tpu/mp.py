@@ -64,18 +64,28 @@ def fused_mlp_channel(x, x_shared, kernel, bias, plan, plan_bs, plan_bc,
     return fused_message_spmm(xs, xu, bias, plan, plan_bs, plan_bc, act)[:n]
 
 
+# Below this feature width the one-hot MXU formulation wastes most of its
+# 128 lanes (a [N, 1] stream still costs full 128-lane rows in VMEM) and
+# the XLA gather+segsum fallback wins; the molecular configs (emb 48-160)
+# all sit above it.
+MIN_KERNEL_FEAT = 32
+
+
 def fused_channel_usable(buf_plan, buf_plan_bs, buf_plan_bc, x, x_shared,
                          act: str) -> bool:
     from cwn_tpu.ops.pallas_segment import FUSED_ACTS
     return (buf_plan is not None and buf_plan_bs is not None
             and buf_plan_bc is not None and x_shared is not None
             and x.dtype == jnp.float32 and x_shared.dtype == jnp.float32
+            and x.shape[-1] >= MIN_KERNEL_FEAT
             and act in FUSED_ACTS)
 
 
 def _plan_usable(plan, x):
-    """Kernel path requires f32 (the fp64 SR path keeps the XLA oracle)."""
-    return plan is not None and x.dtype == jnp.float32
+    """Kernel path requires f32 (the fp64 SR path keeps the XLA oracle)
+    and a feature width that doesn't waste the 128-lane MXU."""
+    return (plan is not None and x.dtype == jnp.float32
+            and x.shape[-1] >= MIN_KERNEL_FEAT)
 
 
 def propagate(buf: CochainBuffers,

@@ -36,6 +36,12 @@ from cwn_tpu.ops.tiles import TilePlan
 # VMEM budget for keeping x resident on-chip (bytes).
 _X_VMEM_LIMIT = 8 * 1024 * 1024
 
+
+def _row_bytes(feat: int) -> int:
+    """VMEM bytes per f32 row: the last dim pads to the 128-lane register
+    width, so a [N, 1] array costs 512 B/row in VMEM, not 4 B."""
+    return ((feat + 127) // 128) * 128 * 4
+
 # Global interpret-mode switch (tests on CPU flip this on).
 _FORCE_INTERPRET = False
 
@@ -134,7 +140,7 @@ def segment_spmm(x: jnp.ndarray, plan: TilePlan,
         x = jnp.pad(x, ((0, plan.num_src - x.shape[0]), (0, 0)))
     n_tiles = plan.num_tiles
     interpret = interpret or _FORCE_INTERPRET
-    x_resident = plan.num_src * feat * 4 <= _X_VMEM_LIMIT
+    x_resident = plan.num_src * _row_bytes(feat) <= _X_VMEM_LIMIT
 
     tile_spec = pl.BlockSpec((1, 1, tile), lambda t, w, b: (t, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -323,7 +329,7 @@ def fused_message_fwd(xs: jnp.ndarray, xu: jnp.ndarray, bias: jnp.ndarray,
     bias2 = jnp.reshape(bias.astype(jnp.float32), (1, feat))
     n_tiles = plan.num_tiles
     interpret = interpret or _FORCE_INTERPRET
-    resident = (plan.num_src + plan.num_extra) * feat * 4 <= _X_VMEM_LIMIT
+    resident = (plan.num_src + plan.num_extra) * _row_bytes(feat) <= _X_VMEM_LIMIT
 
     tile_spec = pl.BlockSpec((1, 1, tile), lambda t, w, e, b: (t, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -413,7 +419,7 @@ def fused_message_bwd(g: jnp.ndarray, x_mine: jnp.ndarray,
     bias2 = jnp.reshape(bias.astype(jnp.float32), (1, feat))
     n_tiles = plan.num_tiles
     interpret = interpret or _FORCE_INTERPRET
-    resident = (plan.num_src + plan.num_extra) * feat * 4 <= _X_VMEM_LIMIT
+    resident = (plan.num_src + plan.num_extra) * _row_bytes(feat) <= _X_VMEM_LIMIT
 
     tile_spec = pl.BlockSpec((1, 1, tile), lambda t, w, e, b: (t, 0, 0),
                              memory_space=pltpu.VMEM)
