@@ -81,6 +81,18 @@ class CochainBuffers:
     # Readout pooling plans (cells -> complex segments) + transpose.
     pool_plan: Optional[object] = None
     pool_plan_t: Optional[object] = None
+    # Edge-partitioned (EP) mode: when `ep_axis` names a mesh axis the
+    # batch is cell-sharded over it and the engine halo-exchanges source
+    # rows with one all_to_all per channel (cwn_tpu.parallel.edge_partition).
+    # In this mode *_src / up_cob / down_shared hold HALO positions
+    # (owner_shard * P + rank) instead of cell ids, and the *_send arrays
+    # give, per destination shard, the local row ids this device ships.
+    ep_axis: Optional[str] = struct.field(pytree_node=False, default=None)
+    up_send: Optional[np.ndarray] = None       # [D, P_up] int32 (this device as sender)
+    cob_send: Optional[np.ndarray] = None      # [D, P_cob] rows of dim k+1
+    down_send: Optional[np.ndarray] = None     # [D, P_dn]
+    dsh_send: Optional[np.ndarray] = None      # [D, P_dsh] rows of dim k-1
+    b_send: Optional[np.ndarray] = None        # [D, P_b]  rows of dim k-1
 
     @property
     def num_cells_padded(self) -> int:

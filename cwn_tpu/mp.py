@@ -27,18 +27,28 @@ from cwn_tpu.batch import CochainBuffers
 from cwn_tpu.ops import segment_reduce
 
 
+def _source_rows(buf, x_source, send, positions):
+    """Rows of x_source addressed by per-edge `positions` — a local take,
+    or a halo all_to_all + take in edge-partitioned mode."""
+    if buf.ep_axis is not None and send is not None:
+        from cwn_tpu.parallel.edge_partition import halo_gather
+        halo = halo_gather(x_source, send, buf.ep_axis)
+        return jnp.take(halo, positions, axis=0, mode='clip')
+    return jnp.take(x_source, positions, axis=0, mode='clip')
+
+
 def gather_up_attr(buf: CochainBuffers, x_up: Optional[jnp.ndarray]):
     """Features of the shared coboundary of each upper edge ([E_up, F])."""
     if x_up is None:
         return None
-    return jnp.take(x_up, buf.up_cob, axis=0, mode='clip')
+    return _source_rows(buf, x_up, buf.cob_send, buf.up_cob)
 
 
 def gather_down_attr(buf: CochainBuffers, x_down: Optional[jnp.ndarray]):
     """Features of the shared boundary of each lower edge ([E_dn, F])."""
     if x_down is None:
         return None
-    return jnp.take(x_down, buf.down_shared, axis=0, mode='clip')
+    return _source_rows(buf, x_down, buf.dsh_send, buf.down_shared)
 
 
 def _identity_channel(x_source, plan, plan_t, n):
@@ -122,7 +132,7 @@ def propagate(buf: CochainBuffers,
         if up_identity and _plan_usable(buf.up_plan, x) and aggr_up == "add":
             up_out = _identity_channel(x, buf.up_plan, buf.up_plan_t, n)
         else:
-            up_x_j = jnp.take(x, buf.up_src, axis=0, mode='clip')
+            up_x_j = _source_rows(buf, x, buf.up_send, buf.up_src)
             msg = message_up(up_x_j, up_attr)
             up_out = segment_reduce(aggr_up)(
                 msg, buf.up_dst, n, mask=buf.up_mask, indices_are_sorted=True)
@@ -132,7 +142,7 @@ def propagate(buf: CochainBuffers,
         if down_identity and _plan_usable(buf.down_plan, x) and aggr_down == "add":
             down_out = _identity_channel(x, buf.down_plan, buf.down_plan_t, n)
         else:
-            down_x_j = jnp.take(x, buf.down_src, axis=0, mode='clip')
+            down_x_j = _source_rows(buf, x, buf.down_send, buf.down_src)
             msg = message_down(down_x_j, down_attr)
             down_out = segment_reduce(aggr_down)(
                 msg, buf.down_dst, n, mask=buf.down_mask,
@@ -146,8 +156,8 @@ def propagate(buf: CochainBuffers,
             boundary_out = _identity_channel(boundary_attr, buf.b_plan,
                                              buf.b_plan_t, n)
         else:
-            boundary_x_j = jnp.take(boundary_attr, buf.b_src, axis=0,
-                                    mode='clip')
+            boundary_x_j = _source_rows(buf, boundary_attr, buf.b_send,
+                                        buf.b_src)
             msg = message_boundary(boundary_x_j)
             boundary_out = segment_reduce(aggr_boundary)(
                 msg, buf.b_dst, n, mask=buf.b_mask, indices_are_sorted=True)
@@ -162,6 +172,6 @@ def boundary_reduce(boundary_x: jnp.ndarray, buf: CochainBuffers,
     if reduce == "add" and _plan_usable(buf.b_plan, boundary_x):
         return _identity_channel(boundary_x, buf.b_plan, buf.b_plan_t,
                                  num_cells)
-    feats = jnp.take(boundary_x, buf.b_src, axis=0, mode='clip')
+    feats = _source_rows(buf, boundary_x, buf.b_send, buf.b_src)
     return segment_reduce(reduce)(
         feats, buf.b_dst, num_cells, mask=buf.b_mask, indices_are_sorted=True)

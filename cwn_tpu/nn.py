@@ -155,15 +155,18 @@ class MaskedBatchNorm(nn.Module):
                 m = mask.astype(x.dtype)
             n = jnp.sum(m)
             s1 = jnp.sum(x * m[:, None], axis=0)
-            s2 = jnp.sum(jnp.square(x) * m[:, None], axis=0)
             if self.axis_name is not None:
                 n = jax.lax.psum(n, self.axis_name)
                 s1 = jax.lax.psum(s1, self.axis_name)
-                s2 = jax.lax.psum(s2, self.axis_name)
             n = jnp.maximum(n, 1.0)
             mean = s1 / n
-            var = s2 / n - jnp.square(mean)
-            var = jnp.maximum(var, 0.0)
+            # Two-pass variance: E[(x-mean)^2] avoids the E[x^2]-E[x]^2
+            # cancellation that amplifies cross-shard reduction-order noise
+            # when var << mean^2 (post-ReLU activations routinely hit this).
+            s2 = jnp.sum(jnp.square(x - mean) * m[:, None], axis=0)
+            if self.axis_name is not None:
+                s2 = jax.lax.psum(s2, self.axis_name)
+            var = jnp.maximum(s2 / n, 0.0)
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
                 ra_mean.value = ((1 - self.momentum) * ra_mean.value
@@ -192,6 +195,21 @@ def sync_bn_axis(axis_name: Optional[str]):
         yield
     finally:
         _BN_AXIS_NAME.pop()
+
+
+# Edge-partitioned pooling context: cells of one complex live on several
+# devices, so per-complex readout pooling must psum partial sums over the
+# mesh axis.  Set by make_ep_train_step / ep_forward around model.apply.
+_POOL_AXIS_NAME: list = [None]
+
+
+@contextlib.contextmanager
+def ep_pool_axis(axis_name: Optional[str]):
+    _POOL_AXIS_NAME.append(axis_name)
+    try:
+        yield
+    finally:
+        _POOL_AXIS_NAME.pop()
 
 
 class GraphNorm(nn.Module):
@@ -251,7 +269,9 @@ def pool_cells(x: jnp.ndarray, batch: jnp.ndarray, cell_mask: jnp.ndarray,
     (/root/reference/mp/nn.py:50-60).  When the batch carries a pooling
     tile plan (and dtype is f32), the segment sum runs as a Pallas one-hot
     SpMM instead of an XLA scatter."""
-    if plan is not None and x.dtype == jnp.float32:
+    ep_axis = _POOL_AXIS_NAME[-1]
+    from cwn_tpu.mp import _plan_usable
+    if _plan_usable(plan, x) and ep_axis is None:
         from cwn_tpu.ops.pallas_segment import segment_spmm_ad
         out = segment_spmm_ad(x, plan, plan_t)[:batch_size]
         if readout == "mean":
@@ -264,9 +284,17 @@ def pool_cells(x: jnp.ndarray, batch: jnp.ndarray, cell_mask: jnp.ndarray,
     if readout == "sum":
         out = segment_sum(x, batch, batch_size + 1, mask=cell_mask,
                           indices_are_sorted=True)
+        if ep_axis is not None:
+            out = jax.lax.psum(out, ep_axis)
     elif readout == "mean":
-        out = segment_mean(x, batch, batch_size + 1, mask=cell_mask,
-                           indices_are_sorted=True)
+        out = segment_sum(x, batch, batch_size + 1, mask=cell_mask,
+                          indices_are_sorted=True)
+        counts = segment_sum(cell_mask[:, None], batch, batch_size + 1,
+                             indices_are_sorted=True)
+        if ep_axis is not None:
+            out = jax.lax.psum(out, ep_axis)
+            counts = jax.lax.psum(counts, ep_axis)
+        out = out / jnp.maximum(counts, 1.0)
     else:
         raise NotImplementedError(f"Readout {readout} is not supported")
     return out[:batch_size]

@@ -42,6 +42,13 @@ def _row_bytes(feat: int) -> int:
     width, so a [N, 1] array costs 512 B/row in VMEM, not 4 B."""
     return ((feat + 127) // 128) * 128 * 4
 
+def _pad_feat_128(feat: int) -> int:
+    """HBM window DMAs slice the lane (last) dim, and Mosaic requires such
+    slices to be 128-aligned — so the HBM-x kernels run at a feature width
+    padded to a multiple of 128 and the caller slices the result back."""
+    return ((feat + 127) // 128) * 128
+
+
 # Global interpret-mode switch (tests on CPU flip this on).
 _FORCE_INTERPRET = False
 
@@ -141,6 +148,10 @@ def segment_spmm(x: jnp.ndarray, plan: TilePlan,
     n_tiles = plan.num_tiles
     interpret = interpret or _FORCE_INTERPRET
     x_resident = plan.num_src * _row_bytes(feat) <= _X_VMEM_LIMIT
+    out_feat = feat
+    if not x_resident and feat != _pad_feat_128(feat):
+        feat = _pad_feat_128(feat)
+        x = jnp.pad(x, ((0, 0), (0, feat - out_feat)))
 
     tile_spec = pl.BlockSpec((1, 1, tile), lambda t, w, b: (t, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -177,7 +188,7 @@ def segment_spmm(x: jnp.ndarray, plan: TilePlan,
             transcendentals=0),
     )(plan.win_start, plan.out_block, plan.src_rel, plan.dst_rel,
       plan.mask, x.astype(jnp.float32))
-    return out
+    return out[:, :out_feat] if out_feat != feat else out
 
 
 @jax.custom_vjp
@@ -326,10 +337,16 @@ def fused_message_fwd(xs: jnp.ndarray, xu: jnp.ndarray, bias: jnp.ndarray,
                               interpret or _FORCE_INTERPRET)
     xs = _pad_rows(xs.astype(jnp.float32), plan.num_src)
     xu = _pad_rows(xu.astype(jnp.float32), plan.num_extra)
-    bias2 = jnp.reshape(bias.astype(jnp.float32), (1, feat))
     n_tiles = plan.num_tiles
     interpret = interpret or _FORCE_INTERPRET
     resident = (plan.num_src + plan.num_extra) * _row_bytes(feat) <= _X_VMEM_LIMIT
+    out_feat = feat
+    if not resident and feat != _pad_feat_128(feat):
+        feat = _pad_feat_128(feat)
+        xs = jnp.pad(xs, ((0, 0), (0, feat - out_feat)))
+        xu = jnp.pad(xu, ((0, 0), (0, feat - out_feat)))
+        bias = jnp.pad(bias.reshape(-1), (0, feat - out_feat))
+    bias2 = jnp.reshape(bias.astype(jnp.float32), (1, feat))
 
     tile_spec = pl.BlockSpec((1, 1, tile), lambda t, w, e, b: (t, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -380,7 +397,7 @@ def fused_message_fwd(xs: jnp.ndarray, xu: jnp.ndarray, bias: jnp.ndarray,
         scratch_shapes=scratch,
     )
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.num_dst, feat), jnp.float32),
@@ -393,6 +410,7 @@ def fused_message_fwd(xs: jnp.ndarray, xu: jnp.ndarray, bias: jnp.ndarray,
     )(plan.win_start, plan.extra_start, plan.out_block,
       plan.src_rel, plan.extra_rel, plan.dst_rel, plan.mask,
       bias2, xs, xu)
+    return out[:, :out_feat] if out_feat != feat else out
 
 
 def fused_message_bwd(g: jnp.ndarray, x_mine: jnp.ndarray,
@@ -416,10 +434,17 @@ def fused_message_bwd(g: jnp.ndarray, x_mine: jnp.ndarray,
     g = _pad_rows(g.astype(jnp.float32), plan.num_src)
     x_other = _pad_rows(x_other.astype(jnp.float32), plan.num_extra)
     x_mine = _pad_rows(x_mine.astype(jnp.float32), plan.num_dst)
-    bias2 = jnp.reshape(bias.astype(jnp.float32), (1, feat))
     n_tiles = plan.num_tiles
     interpret = interpret or _FORCE_INTERPRET
     resident = (plan.num_src + plan.num_extra) * _row_bytes(feat) <= _X_VMEM_LIMIT
+    out_feat = feat
+    if not resident and feat != _pad_feat_128(feat):
+        feat = _pad_feat_128(feat)
+        g = jnp.pad(g, ((0, 0), (0, feat - out_feat)))
+        x_other = jnp.pad(x_other, ((0, 0), (0, feat - out_feat)))
+        x_mine = jnp.pad(x_mine, ((0, 0), (0, feat - out_feat)))
+        bias = jnp.pad(bias.reshape(-1), (0, feat - out_feat))
+    bias2 = jnp.reshape(bias.astype(jnp.float32), (1, feat))
 
     tile_spec = pl.BlockSpec((1, 1, tile), lambda t, w, e, b: (t, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -474,7 +499,7 @@ def fused_message_bwd(g: jnp.ndarray, x_mine: jnp.ndarray,
         scratch_shapes=scratch,
     )
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.num_dst, feat), jnp.float32),
@@ -487,6 +512,7 @@ def fused_message_bwd(g: jnp.ndarray, x_mine: jnp.ndarray,
     )(plan.win_start, plan.extra_start, plan.out_block,
       plan.src_rel, plan.extra_rel, plan.dst_rel, plan.mask,
       bias2, x_mine, g, x_other)
+    return out[:, :out_feat] if out_feat != feat else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))

@@ -16,10 +16,11 @@ For that to work each tile must satisfy, by construction here:
 
 num_tiles is padded to a bucket size so jit compiles O(log) shapes.
 
-Planning is one lexsort plus an O(num_tiles) Python boundary scan (one
-searchsorted per emitted tile): cheap for the few-thousand-tile plans the
-loader builds per batch; vectorise the scan if per-batch planning ever
-profiles hot.  Within each dst segment the
+Planning is one lexsort plus fully vectorised per-start tile limits (a
+global searchsorted for the src window; binary-doubling range tables for
+the unordered extra stream) followed by an O(num_tiles) greedy chain —
+the only Python loop left, a few array lookups per emitted tile.
+Within each dst segment the
 edges are re-sorted by src so the src window of a growing tile is just
 [src[i], src[j-1]] — intra-tile edge order is irrelevant to the kernel
 (one-hot matmuls accumulate), inter-tile block order is preserved.
@@ -96,33 +97,100 @@ def _sorted_valid(src, dst, mask, extra):
             extra[order] if extra is not None else None)
 
 
-def _split_tiles(src, extra, seg_starts, seg_ends, tile: int, window: int
-                 ) -> Tuple[np.ndarray, np.ndarray]:
+def _build_range_tables(extra, levels: int):
+    """Sparse range-min/max tables: tbl[l][i] = min/max(extra[i : i+2^l]).
+    Entries at i with i + 2^l > n are invalid and must not be consumed."""
+    tmin = [extra.astype(np.int32)]
+    tmax = [extra.astype(np.int32)]
+    for l in range(1, levels + 1):
+        h = 1 << (l - 1)
+        lo = tmin[-1]
+        hi = tmax[-1]
+        tmin.append(np.minimum(lo, np.r_[lo[h:], lo[-h:]]))
+        tmax.append(np.maximum(hi, np.r_[hi[h:], hi[-h:]]))
+    return tmin, tmax
+
+
+def _per_start_limits(src, extra, seg_starts, seg_ends, tile: int,
+                      window: int, tables=None) -> np.ndarray:
+    """jlim[i]: the furthest end a tile starting at edge i may take.
+
+    Fully vectorised.  Constraints per tile [i, j):
+      - j - i <= tile;
+      - j <= end of i's dst segment;
+      - src[i:j] within [src[i]//8*8, +window)  (src ascending in-segment,
+        so this is a searchsorted; segments are isolated by lifting every
+        key by seg_id * LIFT so ONE global searchsorted handles all
+        segments and clips at segment ends automatically);
+      - extra[i:j] span < window after 8-alignment (extra is unordered:
+        solved with binary doubling over precomputed range-min/max tables,
+        extending each i greedily by decreasing powers of two)."""
+    n = len(src)
+    seg_id = np.zeros(n, np.int64)
+    seg_id[seg_starts[1:]] = 1
+    seg_id = np.cumsum(seg_id)
+    seg_end = seg_ends[seg_id]
+
+    # Window limit on the sorted stream.
+    lift = np.int64(1) << 34
+    key = src + seg_id * lift
+    w_lim = (src // 8) * 8 + window + seg_id * lift
+    jw = np.searchsorted(key, w_lim, side="left")
+    jlim = np.minimum(np.minimum(jw, np.arange(n) + tile), seg_end)
+
+    if extra is not None and n:
+        # Sparse range-min/max tables up to the tile length.
+        levels = max(int(np.ceil(np.log2(tile))), 1)
+        if tables is not None and len(tables[0]) > levels:
+            tmin, tmax = tables
+        else:
+            tmin, tmax = _build_range_tables(extra, levels)
+        # Greedy binary extension: grow each tile [i, j) while the
+        # 8-aligned span of extra[i:j] stays below `window` and j stays
+        # within jlim (which already encodes tile/segment/src limits).
+        j = np.arange(n)
+        cmin = np.full(n, np.iinfo(np.int32).max, np.int64)
+        cmax = np.full(n, np.iinfo(np.int32).min, np.int64)
+        for l in range(levels, -1, -1):
+            step = 1 << l
+            jc = np.minimum(j, n - 1)
+            nmin = np.minimum(cmin, tmin[l][jc])
+            nmax = np.maximum(cmax, tmax[l][jc])
+            ok = ((j + step <= jlim)
+                  & (nmax - (nmin // 8) * 8 < window))
+            j = np.where(ok, j + step, j)
+            cmin = np.where(ok, nmin, cmin)
+            cmax = np.where(ok, nmax, cmax)
+        jlim = np.maximum(j, np.arange(n) + 1)   # always advance >= 1
+    return jlim
+
+
+def _split_tiles(src, extra, seg_starts, seg_ends, tile: int, window: int,
+                 tables=None) -> Tuple[np.ndarray, np.ndarray]:
     """Split dst segments into tiles obeying tile size + src/extra windows.
 
     src must be ascending within each segment (lexsorted); extra (if given)
-    is unordered and is span-checked with cumulative min/max.  Returns tile
-    (starts, ends) index arrays partitioning [0, n)."""
-    starts, ends = [], []
+    is unordered (span-checked via range tables).  Returns tile
+    (starts, ends) index arrays partitioning [0, n).  The per-start limits
+    are vectorised; only the O(num_tiles) greedy chain is a Python loop."""
+    if len(src) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    jlim = _per_start_limits(src, extra, seg_starts, seg_ends, tile, window,
+                             tables=tables)
+    starts = []
     for s, e in zip(seg_starts, seg_ends):
         i = int(s)
         e = int(e)
         while i < e:
-            j = min(i + tile, e)
-            # src ascending in segment: window limit via searchsorted.
-            w_lim = (int(src[i]) // 8) * 8 + window
-            j = i + int(np.searchsorted(src[i:j], w_lim, side="left"))
-            if extra is not None and j > i + 1:
-                ev = extra[i:j]
-                cmin = np.minimum.accumulate(ev)
-                cmax = np.maximum.accumulate(ev)
-                viol = cmax - (cmin // 8) * 8 >= window
-                if viol.any():
-                    j = i + max(int(np.argmax(viol)), 1)
             starts.append(i)
-            ends.append(j)
-            i = j
-    return (np.asarray(starts, np.int64), np.asarray(ends, np.int64))
+            i = int(jlim[i])
+    starts = np.asarray(starts, np.int64)
+    ends = np.r_[starts[1:], len(src)].astype(np.int64)
+    # Tile ends clip at segment boundaries (the chain restarts there).
+    seg_of = np.searchsorted(seg_starts, starts, side="right") - 1
+    ends = np.minimum(ends, seg_ends[seg_of])
+    return starts, ends
 
 
 def _fill_tiles(src, dst, weights, extra, t_starts, t_ends, pad_count,
@@ -258,6 +326,9 @@ def build_tile_plan(src, dst, mask, num_src: int, num_dst: int,
     return plan
 
 
+_TUNER_SAMPLE_EDGES = 200_000
+
+
 def build_tile_plan_auto(src, dst, mask, num_src: int, num_dst: int,
                          extra=None, num_extra: int = 0, tile: int = 256,
                          window: int = 256, block: int = 256,
@@ -296,12 +367,31 @@ def build_tile_plan_auto(src, dst, mask, num_src: int, num_dst: int,
             s_srt = s[order]
             e_srt = e[order] if e is not None else None
             blocks_hit = len(seg_starts)
+            # Cost on a contiguous segment-prefix sample for large
+            # channels (the winner geometry is materialised exactly);
+            # range tables for the extra stream are built ONCE per block
+            # sort and shared across all (tile, window) candidates.
+            if n > _TUNER_SAMPLE_EDGES:
+                k = min(int(np.searchsorted(
+                    seg_ends, _TUNER_SAMPLE_EDGES, side="left")) + 1,
+                    len(seg_starts))
+                cut = int(seg_ends[k - 1])
+            else:
+                k, cut = len(seg_starts), n
+            ss, se = seg_starts[:k], seg_ends[:k]
+            s_smp = s_srt[:cut]
+            e_smp = e_srt[:cut] if e_srt is not None else None
+            scale = n / cut
+            tables = None
+            if e_smp is not None:
+                max_lv = max(int(np.ceil(np.log2(max(tiles_c)))), 1)
+                tables = _build_range_tables(e_smp, max_lv)
         for t in tiles_c:
             for win in windows:
                 if n:
-                    t_starts, _ = _split_tiles(s_srt, e_srt, seg_starts,
-                                               seg_ends, t, win)
-                    count = (len(t_starts)
+                    t_starts, _ = _split_tiles(s_smp, e_smp, ss, se, t, win,
+                                               tables=tables)
+                    count = (int(round(len(t_starts) * scale))
                              + num_dst_pad // b - blocks_hit)
                 else:
                     count = num_dst_pad // b
@@ -338,17 +428,15 @@ def build_window_plan(src, dst, mask, num_src: int, num_dst: int,
 
     if n:
         # Greedy dst segments: dst ascending, so each segment is
-        # [i, searchsorted(dst, (dst[i]//8)*8 + block)).
-        seg_starts, seg_ends = [], []
-        i = 0
+        # [i, searchsorted(dst, (dst[i]//8)*8 + block)).  The per-start
+        # limits are one vectorised searchsorted; the chain is O(segments).
+        seg_lim = np.searchsorted(dst, (dst // 8) * 8 + block, side="left")
+        seg_starts, i = [], 0
         while i < n:
-            lim = (int(dst[i]) // 8) * 8 + block
-            j = i + int(np.searchsorted(dst[i:], lim, side="left"))
             seg_starts.append(i)
-            seg_ends.append(j)
-            i = j
+            i = int(seg_lim[i])
         seg_starts = np.asarray(seg_starts, np.int64)
-        seg_ends = np.asarray(seg_ends, np.int64)
+        seg_ends = np.r_[seg_starts[1:], n].astype(np.int64)
         seg_id = np.zeros(n, np.int64)
         seg_id[seg_starts[1:]] = 1
         seg_id = np.cumsum(seg_id)

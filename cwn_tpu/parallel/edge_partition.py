@@ -5,98 +5,175 @@ The reference never partitions a single complex's message passing
 analogue of sequence parallelism.  Cells of every dimension are sharded
 across the mesh; each device owns a contiguous cell range and the adjacency
 edges whose DESTINATION falls in its range (the packer's dst-sorted edge
-lists split into equal chunks by construction).  Source cell features are
-exchanged with one all_gather over ICI per channel (the halo), the local
-gather+segment-sum runs on local edges only, and outputs are already
-dst-local so no reduce is needed:
+lists split into per-shard chunks by construction).
 
-    out_local = segsum_local( msg(allgather(x)[src_local]) )
+Halo exchange is a *requested-rows* all_to_all, not a full all_gather:
+at pack time each destination shard records exactly which source rows it
+needs from each owner (`*_send` index matrices); at step time every device
+gathers its outgoing rows locally and one `lax.all_to_all` over ICI swaps
+them.  Traffic per channel is sum(unique halo rows), not num_cells.  The
+per-edge source indices are rewritten to positions in the received halo
+buffer, so the aggregation stays a local dst-sorted segment-sum and no
+reduce collective is needed.  XLA's latency-hiding scheduler overlaps the
+all_to_all with the independent dense cell-level matmuls of the same layer.
 
-Packing: `shard_batch` splits a ComplexBatch into per-device shards with a
-leading device axis.  Edges are padded per shard; cell ranges are equal
-N/D blocks.  The train/forward step runs under shard_map with psum'd
-gradients (data parallel composes on a second mesh axis).
+The flax models run UNCHANGED under shard_map: `shard_batch` marks each
+CochainBuffers with `ep_axis`, and the engine (cwn_tpu.mp.propagate,
+gather_up/down_attr, boundary_reduce) plus the readout pooling
+(cwn_tpu.nn.pool_cells via the ep_pool_axis context) switch to the halo
+path when they see it.  BatchNorm statistics ride the existing
+sync_bn_axis context, so EP training is bit-for-bit the single-device
+program up to summation order.
 """
 from __future__ import annotations
 
-from typing import List
+import functools
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from cwn_tpu.batch import CochainBuffers, ComplexBatch
 
 
-def _split_cells(n_pad: int, d: int):
-    assert n_pad % d == 0, f"padded cells {n_pad} not divisible by mesh {d}"
-    return n_pad // d
+def halo_gather(x_local: jnp.ndarray, send_idx: jnp.ndarray,
+                axis: str) -> jnp.ndarray:
+    """Exchange requested rows over the mesh axis.
+
+    x_local [n_local, F]: this device's cell block.
+    send_idx [D, P]: local row ids this device ships to each destination.
+    Returns the halo buffer [D*P, F] where row s*P+p is the p-th row
+    requested from shard s (matching the positions shard_batch wrote into
+    the edge source arrays)."""
+    d, p = send_idx.shape
+    send = jnp.take(x_local, send_idx.reshape(-1), axis=0,
+                    mode="clip").reshape(d, p, x_local.shape[-1])
+    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
+                              tiled=False)
+    return recv.reshape(d * p, x_local.shape[-1])
 
 
-def _shard_edges(src, dst, extras, mask, n_local: int, d: int, trash_global: int):
-    """Partition dst-sorted edges by destination shard; pad each shard to the
-    max shard size (rounded to 128).  dst is re-based to local coordinates;
-    src stays GLOBAL (sources are read from the all-gathered halo)."""
+def _round8(n: int) -> int:
+    return max(8, ((n + 7) // 8) * 8)
+
+
+def _halo_requests(global_src: np.ndarray, valid: np.ndarray, d: int,
+                   n_src_local: int):
+    """For one destination shard: the rows it needs from every owner.
+
+    Returns (per-owner local-id request lists, global->halo-rank map)."""
+    needed = np.unique(global_src[valid]) if valid.any() else \
+        np.zeros(0, np.int64)
+    owners = needed // n_src_local
+    reqs = [needed[owners == s] - s * n_src_local for s in range(d)]
+    return reqs, needed
+
+
+def _shard_channel(src, dst, extras, mask, n_local: int, n_src_local: int,
+                   d: int):
+    """Partition one channel's dst-sorted edges into D shards and build the
+    halo plan for its source stream.
+
+    Returns per-shard edge arrays [D, E_cap] (src rewritten to halo
+    positions, dst re-based local), per-shard extras, and the send matrix
+    [D_sender, D_dst, P]."""
     owner = dst // n_local
-    shards = []
-    max_e = 0
+    valid = mask != 0
+    sel = [(owner == r) & valid for r in range(d)]
+    cap = _round8(max((int(s.sum()) for s in sel), default=0))
+
+    # Halo requests per destination shard.
+    reqs = []
+    p = 8
     for r in range(d):
-        sel = (owner == r) & (mask != 0)
-        shards.append(sel)
-        max_e = max(max_e, int(sel.sum()))
-    cap = ((max_e + 127) // 128) * 128 if max_e else 128
+        req_r, _ = _halo_requests(src, sel[r], d, n_src_local)
+        reqs.append(req_r)
+        p = max(p, max((len(q) for q in req_r), default=0))
+    p = _round8(p)
+
+    send = np.zeros((d, d, p), np.int32)        # [sender, dst, P]
+    for r in range(d):
+        for s in range(d):
+            q = reqs[r][s]
+            send[s, r, :len(q)] = q
 
     out_src = np.zeros((d, cap), np.int32)
-    out_dst = np.zeros((d, cap), np.int32)
+    out_dst = np.full((d, cap), n_local - 1, np.int32)
     out_mask = np.zeros((d, cap), np.float32)
-    out_extras = [np.zeros((d, cap), e.dtype) for e in extras]
+    out_extras = [np.zeros((d, cap), np.asarray(e).dtype) for e in extras]
     for r in range(d):
-        sel = shards[r]
-        e = int(sel.sum())
-        out_src[r, :e] = src[sel]
-        out_dst[r, :e] = dst[sel] - r * n_local
-        out_mask[r, :e] = mask[sel]
-        out_src[r, e:] = trash_global
-        out_dst[r, e:] = n_local - 1
-        for o, arr in zip(out_extras, extras):
-            o[r, :e] = arr[sel]
-    return out_src, out_dst, out_mask, out_extras
+        e = int(sel[r].sum())
+        if e:
+            g = src[sel[r]]
+            own = g // n_src_local
+            # halo position = owner*P + rank of the row in that owner's
+            # request list (lists are sorted-unique -> searchsorted).
+            rank = np.empty(e, np.int64)
+            for s in range(d):
+                m = own == s
+                if m.any():
+                    rank[m] = np.searchsorted(reqs[r][s],
+                                              g[m] - s * n_src_local)
+            out_src[r, :e] = (own * p + rank).astype(np.int32)
+            out_dst[r, :e] = dst[sel[r]] - r * n_local
+            out_mask[r, :e] = mask[sel[r]]
+            for o, arr in zip(out_extras, extras):
+                o[r, :e] = np.asarray(arr)[sel[r]]
+    return out_src, out_dst, out_mask, out_extras, send
 
 
-def shard_batch(batch: ComplexBatch, n_devices: int) -> ComplexBatch:
-    """Re-pack a ComplexBatch with a leading device axis on every buffer.
+def shard_batch(batch: ComplexBatch, n_devices: int,
+                axis: str = "cells") -> ComplexBatch:
+    """Re-pack a ComplexBatch for edge partitioning over `axis`.
 
-    Cell arrays become [D, N/D, ...]; edge arrays [D, E_shard]; the model
-    runs under shard_map with this axis mapped over the mesh."""
+    Cell arrays become [D, N/D, ...]; each channel's edges are dst-shard
+    partitioned with halo-position sources; complex-level labels are
+    replicated per device.  The result is fed to shard_map with every
+    leaf sharded on its leading axis."""
     d = n_devices
     new_dims = []
     for k, buf in enumerate(batch.dims):
         n_pad = buf.cell_mask.shape[0]
-        n_local = _split_cells(n_pad, d)
-        trash = n_pad - 1
+        assert n_pad % d == 0, f"padded cells {n_pad} not divisible by {d}"
+        n_local = n_pad // d
+        # Missing neighbour dims get a dummy d-divisible size; their halo
+        # streams are empty/zero and never consumed.
+        n_dn_pad = batch.dims[k - 1].cell_mask.shape[0] if k > 0 else d
+        n_up_pad = (batch.dims[k + 1].cell_mask.shape[0]
+                    if k + 1 < len(batch.dims) else d)
+        assert n_dn_pad % d == 0 and n_up_pad % d == 0
 
         def split_cells(a):
             if a is None:
                 return None
             return np.asarray(a).reshape((d, n_local) + a.shape[1:])
 
-        up_src, up_dst, up_mask, (up_cob, up_orient) = _shard_edges(
-            buf.up_src, buf.up_dst,
-            [buf.up_cob,
-             buf.up_orient if buf.up_orient is not None
+        # Upper adjacency: sources in dim k, coboundary attr rows in k+1.
+        up_src, up_dst, up_mask, (up_orient,), up_send = _shard_channel(
+            buf.up_src.astype(np.int64), buf.up_dst.astype(np.int64),
+            [buf.up_orient if buf.up_orient is not None
              else np.zeros_like(buf.up_mask)],
-            buf.up_mask, n_local, d, trash)
-        down_src, down_dst, down_mask, (down_shared, down_orient) = \
-            _shard_edges(
-                buf.down_src, buf.down_dst,
-                [buf.down_shared,
-                 buf.down_orient if buf.down_orient is not None
+            buf.up_mask, n_local, n_local, d)
+        up_cob, _, _, _, cob_send = _shard_channel(
+            buf.up_cob.astype(np.int64), buf.up_dst.astype(np.int64), [],
+            buf.up_mask, n_local, n_up_pad // d, d)
+
+        down_src, down_dst, down_mask, (down_orient,), down_send = \
+            _shard_channel(
+                buf.down_src.astype(np.int64), buf.down_dst.astype(np.int64),
+                [buf.down_orient if buf.down_orient is not None
                  else np.zeros_like(buf.down_mask)],
-                buf.down_mask, n_local, d, trash)
-        n_dn_pad = batch.dims[k - 1].cell_mask.shape[0] if k > 0 else 1
-        b_src, b_dst, b_mask, _ = _shard_edges(
-            buf.b_src, buf.b_dst, [], buf.b_mask, n_local, d, n_dn_pad - 1)
+                buf.down_mask, n_local, n_local, d)
+        down_shared, _, _, _, dsh_send = _shard_channel(
+            buf.down_shared.astype(np.int64), buf.down_dst.astype(np.int64),
+            [], buf.down_mask, n_local, n_dn_pad // d, d)
+
+        b_src, b_dst, b_mask, _, b_send = _shard_channel(
+            buf.b_src.astype(np.int64), buf.b_dst.astype(np.int64), [],
+            buf.b_mask, n_local, n_dn_pad // d, d)
 
         new_dims.append(CochainBuffers(
             x=split_cells(buf.x),
@@ -108,43 +185,130 @@ def shard_batch(batch: ComplexBatch, n_devices: int) -> ComplexBatch:
             b_src=b_src, b_dst=b_dst, b_mask=b_mask,
             up_orient=up_orient if buf.up_orient is not None else None,
             down_orient=down_orient if buf.down_orient is not None else None,
-            y=split_cells(buf.y), sel_mask=split_cells(buf.sel_mask)))
-    return batch.replace(dims=tuple(new_dims))
+            y=split_cells(buf.y), sel_mask=split_cells(buf.sel_mask),
+            ep_axis=axis,
+            up_send=up_send, cob_send=cob_send,
+            down_send=down_send, dsh_send=dsh_send, b_send=b_send))
+
+    rep = lambda a: (None if a is None
+                     else np.broadcast_to(np.asarray(a)[None],
+                                          (d,) + np.asarray(a).shape).copy())
+    return batch.replace(dims=tuple(new_dims), y=rep(batch.y),
+                         y_mask=rep(batch.y_mask))
 
 
-def ep_propagate(buf_local: CochainBuffers, x_local: jnp.ndarray,
-                 axis: str = "cells",
-                 boundary_attr_local: jnp.ndarray = None):
-    """Edge-partitioned propagate for identity channels inside shard_map.
+def make_ep_train_step(model, tx, mesh: Mesh, loss_fn: Callable,
+                       axis: str = "cells", donate: bool = True,
+                       inject_lr: bool = False):
+    """Jitted edge-partitioned train step: the UNMODIFIED flax model runs
+    under shard_map on a cell-sharded batch; halo all_to_alls live inside
+    propagate; BN stats and readout pooling psum over the axis.
 
-    x_local: [N/D, F] this device's cell block.  Returns the three channel
-    outputs for the local cells.  Halo exchange = one all_gather per used
-    channel source; aggregation stays local (dst-partitioned edges).
-    """
-    from cwn_tpu.ops import segment_sum
+    Returns step(params, batch_stats, opt_state, ep_batch, rng[, lr])."""
+    from cwn_tpu.nn import ep_pool_axis, sync_bn_axis
 
-    n_local = x_local.shape[0]
-    # Halo: full x, gathered over the mesh axis (tiled -> [N, F]).
-    x_full = jax.lax.all_gather(x_local, axis, tiled=True)
+    def body(params, batch_stats, batch, rng):
+        batch_local = jax.tree.map(lambda a: a[0], batch)
 
-    up_out = jnp.zeros_like(x_local)
-    if buf_local.up_src.shape[0] > 0:
-        m = jnp.take(x_full, buf_local.up_src, axis=0, mode="clip")
-        up_out = segment_sum(m, buf_local.up_dst, n_local,
-                             mask=buf_local.up_mask, indices_are_sorted=True)
+        def loss_of(p):
+            with sync_bn_axis(axis), ep_pool_axis(axis):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, batch_local,
+                    train=True, rngs={"dropout": rng},
+                    mutable=["batch_stats"])
+            s, w = loss_fn(out, batch_local.y, batch_local.y_mask)
+            return s / jnp.maximum(w, 1.0), mut["batch_stats"]
 
-    down_out = jnp.zeros_like(x_local)
-    if buf_local.down_src.shape[0] > 0:
-        m = jnp.take(x_full, buf_local.down_src, axis=0, mode="clip")
-        down_out = segment_sum(m, buf_local.down_dst, n_local,
-                               mask=buf_local.down_mask,
-                               indices_are_sorted=True)
+        (loss, new_bs), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        # Pooled outputs are replicated, so loss/grads agree across the
+        # axis up to summation order; pmean re-synchronises exactly.
+        grads = jax.lax.pmean(grads, axis)
+        new_bs = jax.lax.pmean(new_bs, axis)
+        return jax.lax.pmean(loss, axis), grads, new_bs
 
-    boundary_out = jnp.zeros_like(x_local)
-    if boundary_attr_local is not None and buf_local.b_src.shape[0] > 0:
-        battr_full = jax.lax.all_gather(boundary_attr_local, axis, tiled=True)
-        m = jnp.take(battr_full, buf_local.b_src, axis=0, mode="clip")
-        boundary_out = segment_sum(m, buf_local.b_dst, n_local,
-                                   mask=buf_local.b_mask,
-                                   indices_are_sorted=True)
-    return up_out, down_out, boundary_out
+    rep = P()
+    mapped = jax.shard_map(body, mesh=mesh,
+                           in_specs=(rep, rep, P(axis), rep),
+                           out_specs=(rep, rep, rep), check_vma=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
+    def step(params, batch_stats, opt_state, batch, rng):
+        loss, grads, new_bs = mapped(params, batch_stats, batch, rng)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, new_opt, loss
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
+    def step_lr(params, batch_stats, opt_state, batch, rng, lr):
+        loss, grads, new_bs = mapped(params, batch_stats, batch, rng)
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, new_opt, loss
+
+    return step_lr if inject_lr else step
+
+
+def make_dp_ep_train_step(model, tx, mesh: Mesh, loss_fn: Callable,
+                          dp_axis: str = "data", ep_axis: str = "cells",
+                          donate: bool = True, inject_lr: bool = False):
+    """2-D mesh training: data parallel over complex shards x edge
+    partitioning of each shard's cells.
+
+    `batch` leaves are stacked [D_dp, D_ep, ...] (stack shard_batch outputs
+    of per-dp-shard packs built with one shared PadPlan).  BN statistics
+    psum over BOTH axes (single-device global-batch semantics); pooling
+    psums over the cell axis only; the loss weight-normalises over the
+    data axis like make_dp_train_step."""
+    from cwn_tpu.nn import ep_pool_axis, sync_bn_axis
+
+    def body(params, batch_stats, batch, rng):
+        batch_local = jax.tree.map(lambda a: a[0, 0], batch)
+
+        def loss_of(p):
+            with sync_bn_axis((dp_axis, ep_axis)), ep_pool_axis(ep_axis):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, batch_local,
+                    train=True, rngs={"dropout": rng},
+                    mutable=["batch_stats"])
+            s, w = loss_fn(out, batch_local.y, batch_local.y_mask)
+            total_w = jax.lax.psum(w, dp_axis)
+            loss = jax.lax.psum(s, dp_axis) / jnp.maximum(total_w, 1.0)
+            return loss, mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        grads = jax.lax.pmean(grads, (dp_axis, ep_axis))
+        new_bs = jax.lax.pmean(new_bs, (dp_axis, ep_axis))
+        return jax.lax.pmean(loss, (dp_axis, ep_axis)), grads, new_bs
+
+    rep = P()
+    mapped = jax.shard_map(body, mesh=mesh,
+                           in_specs=(rep, rep, P(dp_axis, ep_axis), rep),
+                           out_specs=(rep, rep, rep), check_vma=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
+    def step(params, batch_stats, opt_state, batch, rng):
+        loss, grads, new_bs = mapped(params, batch_stats, batch, rng)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, new_opt, loss
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
+    def step_lr(params, batch_stats, opt_state, batch, rng, lr):
+        loss, grads, new_bs = mapped(params, batch_stats, batch, rng)
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, new_opt, loss
+
+    return step_lr if inject_lr else step
+
+
+def ep_forward(model, variables, ep_batch, mesh: Mesh, axis: str = "cells"):
+    """Jitted EP inference: replicated output of the unmodified model."""
+    from cwn_tpu.nn import ep_pool_axis
+
+    def body(variables, batch):
+        batch_local = jax.tree.map(lambda a: a[0], batch)
+        with ep_pool_axis(axis):
+            return model.apply(variables, batch_local, train=False)
+
+    mapped = jax.shard_map(body, mesh=mesh, in_specs=(P(), P(axis)),
+                           out_specs=P(), check_vma=False)
+    return jax.jit(mapped)(variables, ep_batch)

@@ -42,7 +42,7 @@ class ComplexLoader:
                  keep_top_upper: bool = False, x_dtype=np.float32,
                  drop_last: bool = False, use_pallas: bool = False,
                  kernel_tile: int = 256, device_prefetch: bool = True,
-                 n_shards: int = 1):
+                 n_shards: int = 1, cache_batches: Optional[bool] = None):
         self.complexes = list(complexes)
         self.batch_size = batch_size
         self.max_dim = max_dim
@@ -63,6 +63,20 @@ class ComplexLoader:
         self.n_shards = n_shards
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
+        # Host-side batch reuse.  Non-shuffled loaders yield the SAME
+        # batches every epoch: pack once, cache, replay (eval loaders were
+        # repacking — and re-tile-planning — identical batches per epoch).
+        self.cache_batches = (not shuffle) if cache_batches is None \
+            else cache_batches
+        self._cached_batches: Optional[List[ComplexBatch]] = None
+        # Shuffled loaders over structure-UNIFORM datasets (every complex
+        # shares identical adjacency/orientation arrays — FLOW, OCEAN,
+        # ring benchmarks) reuse one packed template per batch count and
+        # only rewrite the per-sample streams (x / y / sel) each batch:
+        # per-batch cost drops from a full pack + tile planning to a
+        # couple of memcpys.
+        self._uniform: Optional[bool] = None
+        self._templates: dict = {}
 
     def __len__(self) -> int:
         n = len(self.complexes)
@@ -88,10 +102,15 @@ class ComplexLoader:
             yield pending
 
     def _iter_host(self) -> Iterator[ComplexBatch]:
+        if self.cache_batches and self._cached_batches is not None:
+            self._epoch += 1
+            yield from self._cached_batches
+            return
         idx = np.arange(len(self.complexes))
         if self.shuffle:
             self._rng.shuffle(idx)
         self._epoch += 1
+        collect = [] if self.cache_batches else None
         for s in range(0, len(idx), self.batch_size):
             chunk = idx[s:s + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
@@ -100,22 +119,87 @@ class ComplexLoader:
             if self.n_shards > 1:
                 yield self._pack_sharded(batch_complexes)
                 continue
-            plan = self.fixed_plan
-            if plan is None:
-                plan = PadPlan.for_complexes(
-                    batch_complexes, self.max_dim,
-                    batch_size=self.batch_size,
-                    pad_multiple=self.pad_multiple)
-                plan = bucketize_plan(plan, self.pad_multiple)
-            packed = pack_complexes(batch_complexes, self.max_dim, plan=plan,
-                                    x_dtype=self.x_dtype,
-                                    keep_top_upper=self.keep_top_upper)
-            if self.use_pallas:
-                from cwn_tpu.batch import add_tile_plans
-                packed = add_tile_plans(packed, tile=self.kernel_tile,
-                                        window=self.kernel_tile,
-                                        block=self.kernel_tile)
-            yield packed
+            if self.shuffle and self._is_uniform():
+                batch = self._pack_uniform(batch_complexes)
+            else:
+                batch = self._pack_one(batch_complexes)
+            if collect is not None:
+                collect.append(batch)
+            yield batch
+        if collect is not None:
+            self._cached_batches = collect
+
+    def _pack_one(self, batch_complexes) -> ComplexBatch:
+        plan = self.fixed_plan
+        if plan is None:
+            plan = PadPlan.for_complexes(
+                batch_complexes, self.max_dim,
+                batch_size=self.batch_size,
+                pad_multiple=self.pad_multiple)
+            plan = bucketize_plan(plan, self.pad_multiple)
+        packed = pack_complexes(batch_complexes, self.max_dim, plan=plan,
+                                x_dtype=self.x_dtype,
+                                keep_top_upper=self.keep_top_upper)
+        if self.use_pallas:
+            from cwn_tpu.batch import add_tile_plans
+            packed = add_tile_plans(packed, tile=self.kernel_tile,
+                                    window=self.kernel_tile,
+                                    block=self.kernel_tile)
+        return packed
+
+    # ---- uniform-structure fast path -----------------------------------
+
+    def _is_uniform(self) -> bool:
+        if self._uniform is None:
+            self._uniform = _structures_identical(self.complexes,
+                                                  self.max_dim)
+        return self._uniform
+
+    def _pack_uniform(self, batch_complexes) -> ComplexBatch:
+        count = len(batch_complexes)
+        tpl = self._templates.get(count)
+        if tpl is None:
+            tpl = self._pack_one(batch_complexes)
+            self._templates[count] = tpl
+            return tpl
+        dims = []
+        for k, d in enumerate(tpl.dims):
+            co0 = batch_complexes[0].cochains.get(k)
+            n_k = int(co0.num_cells or 0) if co0 is not None else 0
+            repl = {}
+            if n_k and d.x is not None:
+                f = d.x.shape[1]
+                x = np.zeros_like(d.x)
+                x[:count * n_k] = np.concatenate([
+                    np.asarray(c.cochains[k].x, d.x.dtype)
+                    if c.cochains[k].x is not None
+                    else np.zeros((n_k, f), d.x.dtype)
+                    for c in batch_complexes], axis=0)
+                repl["x"] = x
+            if n_k and d.y is not None:
+                y = np.zeros_like(d.y)
+                y[:count * n_k] = np.concatenate([
+                    np.asarray(c.cochains[k].y).reshape(-1)
+                    for c in batch_complexes])
+                repl["y"] = y
+            if n_k and d.sel_mask is not None:
+                sel = np.zeros_like(d.sel_mask)
+                sel[:count * n_k] = np.concatenate([
+                    np.asarray(c.cochains[k].mask, np.float32).reshape(-1)
+                    if c.cochains[k].mask is not None
+                    else np.zeros(n_k, np.float32)
+                    for c in batch_complexes])
+                repl["sel_mask"] = sel
+            dims.append(d.replace(**repl) if repl else d)
+        y = tpl.y
+        if y is not None:
+            vals = np.stack([np.asarray(c.y).reshape(-1)
+                             for c in batch_complexes])
+            if vals.shape[1] == 1:
+                vals = vals[:, 0]
+            y = np.zeros_like(tpl.y)
+            y[:count] = vals.astype(tpl.y.dtype)
+        return tpl.replace(dims=tuple(dims), y=y)
 
     def _pack_sharded(self, batch_complexes) -> ComplexBatch:
         """Pack one global batch as n_shards stacked per-device batches.
@@ -140,6 +224,45 @@ class ComplexLoader:
                   for g in groups]
         shards = _harmonize_shards(shards)
         return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *shards)
+
+
+def _structures_identical(complexes: Sequence[Complex], max_dim: int) -> bool:
+    """True iff every complex shares the SAME structural arrays (indices,
+    shared pointers, orientations, cell counts) — so one packed batch is a
+    template for any other batch of the same size, differing only in
+    x / y / sel streams.  Short-circuits on the first mismatch, so the
+    check is cheap for heterogeneous datasets."""
+    if len(complexes) <= 1:
+        return True
+
+    def _eq(a, b):
+        if a is None or b is None:
+            return a is None and b is None
+        a, b = np.asarray(a), np.asarray(b)
+        return a.shape == b.shape and np.array_equal(a, b)
+
+    def _sig(c):
+        out = []
+        for k in range(max_dim + 1):
+            co = c.cochains.get(k)
+            out.append(None if co is None else (
+                co.num_cells, co.upper_index, co.shared_coboundaries,
+                co.upper_orient, co.lower_index, co.shared_boundaries,
+                co.lower_orient, co.boundary_index))
+        return out
+
+    ref = _sig(complexes[0])
+    for c in complexes[1:]:
+        for a, b in zip(ref, _sig(c)):
+            if (a is None) != (b is None):
+                return False
+            if a is None:
+                continue
+            if a[0] != b[0]:
+                return False
+            if not all(_eq(u, v) for u, v in zip(a[1:], b[1:])):
+                return False
+    return True
 
 
 def _harmonize_shards(shards: List[ComplexBatch]) -> List[ComplexBatch]:

@@ -1,20 +1,30 @@
-"""Edge-partitioned message passing vs the single-device oracle.
+"""Edge-partitioned message passing and training vs single-device oracles.
 
 Runs on the virtual 8-device CPU mesh: cells sharded over the mesh, halo
-exchange via all_gather, local segment sums — outputs must equal the
-unpartitioned propagate exactly.
+exchange as a requested-rows all_to_all (NOT a full all_gather), local
+segment sums.  Outputs, full-model forwards, and one full training step of
+the UNMODIFIED SparseCIN must match the unpartitioned program.
 """
 import numpy as np
 import jax
 import jax.numpy as jnp
+import optax
 import pytest
 from jax.sharding import Mesh, PartitionSpec as P
 
 from cwn_tpu.batch import pack_complexes
 from cwn_tpu.lift import ring_2complex
+from cwn_tpu.models import SparseCIN
 from cwn_tpu.mp import propagate
-from cwn_tpu.parallel.edge_partition import ep_propagate, shard_batch
+from cwn_tpu.parallel.edge_partition import (
+    ep_forward, make_dp_ep_train_step, make_ep_train_step, shard_batch)
 from tests.fixtures import all_test_graphs
+
+
+def _complexes(repeats=3):
+    return [ring_2complex(g.x, g.edge_index, None, g.num_nodes,
+                          y=np.array([i % 2]), max_k=7)
+            for i, g in enumerate(all_test_graphs() * repeats)]
 
 
 @pytest.mark.parametrize("n_dev", [2, 4, 8])
@@ -22,9 +32,7 @@ def test_ep_propagate_matches_single_device(n_dev):
     devices = jax.devices("cpu")[:n_dev]
     mesh = Mesh(np.array(devices), ("cells",))
 
-    complexes = [ring_2complex(g.x, g.edge_index, None, g.num_nodes, y=g.y,
-                               max_k=7) for g in all_test_graphs()] * 3
-    batch = pack_complexes(complexes, max_dim=2, pad_multiple=128)
+    batch = pack_complexes(_complexes(), max_dim=2, pad_multiple=128)
     sharded = shard_batch(batch, n_dev)
 
     k = 1  # edges: has up, down, boundary channels
@@ -35,10 +43,13 @@ def test_ep_propagate_matches_single_device(n_dev):
     battr = jnp.asarray(rng.normal(
         size=(batch.dims[k - 1].cell_mask.shape[0], 16)).astype(np.float32))
 
-    # Oracle: unpartitioned propagate with identity messages.
+    # Non-identity up message so halo rows feed real compute.
+    w = jnp.asarray(rng.normal(size=(16, 16)).astype(np.float32))
+    msg_up = lambda xj, a: jnp.tanh(xj @ w)
+
     up_ref, down_ref, b_ref = propagate(
         buf, x, boundary_attr=battr,
-        message_up=lambda xj, a: xj, message_down=lambda xj, a: xj,
+        message_up=msg_up, message_down=lambda xj, a: xj,
         message_boundary=lambda b: b)
 
     sbuf = sharded.dims[k]
@@ -46,18 +57,16 @@ def test_ep_propagate_matches_single_device(n_dev):
     nb = battr.shape[0]
     b_sh = battr.reshape(n_dev, nb // n_dev, 16)
 
-    def f(buf_local, x_local, battr_local):
-        return ep_propagate(buf_local, x_local, axis="cells",
-                            boundary_attr_local=battr_local)
-
     mapped = jax.shard_map(
-        lambda b, xl, bl: f(jax.tree.map(lambda v: v[0], b), xl[0], bl[0]),
+        lambda b, xl, bl: propagate(
+            jax.tree.map(lambda v: v[0], b), xl[0], boundary_attr=bl[0],
+            message_up=msg_up, message_down=lambda xj, a: xj,
+            message_boundary=lambda bb: bb),
         mesh=mesh,
         in_specs=(P("cells"), P("cells"), P("cells")),
         out_specs=P("cells"), check_vma=False)
 
     up, down, bnd = mapped(sbuf, x_sh, b_sh)
-    # per-device [N/D, F] outputs concatenate over the mesh axis -> [N, F]
     up = np.asarray(up).reshape(n, 16)
     down = np.asarray(down).reshape(n, 16)
     bnd = np.asarray(bnd).reshape(n, 16)
@@ -65,3 +74,128 @@ def test_ep_propagate_matches_single_device(n_dev):
     assert np.allclose(up, np.asarray(up_ref), atol=1e-5)
     assert np.allclose(down, np.asarray(down_ref), atol=1e-5)
     assert np.allclose(bnd, np.asarray(b_ref), atol=1e-5)
+
+
+def _model_setup(batch):
+    model = SparseCIN(num_input_features=1, num_classes=2, num_layers=2,
+                      hidden=8, max_dim=2, dropout_rate=0.0,
+                      use_coboundaries=True)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           train=False)
+    return model, variables
+
+
+def test_ep_forward_full_model_matches():
+    n_dev = 4
+    batch = pack_complexes(_complexes(), max_dim=2, pad_multiple=64)
+    sharded = shard_batch(batch, n_dev)
+    model, variables = _model_setup(batch)
+    mesh = Mesh(np.array(jax.devices("cpu")[:n_dev]), ("cells",))
+
+    ref = model.apply(variables, batch, train=False)
+    got = ep_forward(model, variables, sharded, mesh)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_ep_train_step_matches_single_device():
+    """One EP optimizer step of the real model (boundary + fused up
+    channels, masked BN, pooling, head) == one single-device step."""
+    n_dev = 4
+    batch = pack_complexes(_complexes(), max_dim=2, pad_multiple=64)
+    sharded = shard_batch(batch, n_dev)
+    model, variables = _model_setup(batch)
+    params, bs = variables["params"], variables["batch_stats"]
+    tx = optax.sgd(0.1)
+    opt = tx.init(params)
+    mesh = Mesh(np.array(jax.devices("cpu")[:n_dev]), ("cells",))
+
+    def loss_fn(out, y, y_mask):
+        ls = optax.softmax_cross_entropy_with_integer_labels(
+            out, y.astype(jnp.int32))
+        return (ls * y_mask).sum(), y_mask.sum()
+
+    rng = jax.random.PRNGKey(1)
+    step = make_ep_train_step(model, tx, mesh, loss_fn, donate=False)
+    p_ep, bs_ep, _, loss_ep = step(params, bs, opt, sharded, rng)
+
+    def full_loss(p):
+        out, mut = model.apply({"params": p, "batch_stats": bs}, batch,
+                               train=True, rngs={"dropout": rng},
+                               mutable=["batch_stats"])
+        s, w = loss_fn(out, batch.y, batch.y_mask)
+        return s / jnp.maximum(w, 1.0), mut["batch_stats"]
+
+    (loss_ref, bs_ref), grads = jax.value_and_grad(
+        full_loss, has_aux=True)(params)
+    updates, _ = tx.update(grads, opt, params)
+    p_ref = optax.apply_updates(params, updates)
+
+    assert np.allclose(float(loss_ep), float(loss_ref), atol=1e-5)
+    # f32 summation order differs (psum of partials vs one arena sum);
+    # 1e-3 is ~5x the worst observed drift on this fixture.
+    for a, b in zip(jax.tree.leaves(p_ep), jax.tree.leaves(p_ref)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+    for a, b in zip(jax.tree.leaves(bs_ep), jax.tree.leaves(bs_ref)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_dp_ep_2d_mesh_step_matches_single_device():
+    """2x2 mesh: data-parallel over complex shards x edge-partitioned
+    cells; one step == single-device step on the concatenated batch."""
+    complexes = _complexes(2)
+    half = len(complexes) // 2
+    from cwn_tpu.batch import PadPlan
+
+    plan = PadPlan.union([
+        PadPlan.for_complexes(complexes[:half], 2, pad_multiple=64),
+        PadPlan.for_complexes(complexes[half:], 2, pad_multiple=64)])
+    shard_a = shard_batch(
+        pack_complexes(complexes[:half], max_dim=2, plan=plan), 2)
+    shard_b = shard_batch(
+        pack_complexes(complexes[half:], max_dim=2, plan=plan), 2)
+    stacked = jax.tree.map(lambda *xs: np.stack(xs, 0), shard_a, shard_b)
+    full = pack_complexes(complexes, max_dim=2, pad_multiple=64)
+
+    model, variables = _model_setup(full)
+    params, bs = variables["params"], variables["batch_stats"]
+    tx = optax.sgd(0.1)
+    opt = tx.init(params)
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]).reshape(2, 2),
+                ("data", "cells"))
+
+    def loss_fn(out, y, y_mask):
+        ls = optax.softmax_cross_entropy_with_integer_labels(
+            out, y.astype(jnp.int32))
+        return (ls * y_mask).sum(), y_mask.sum()
+
+    rng = jax.random.PRNGKey(1)
+    step = make_dp_ep_train_step(model, tx, mesh, loss_fn, donate=False)
+    p_2d, bs_2d, _, loss_2d = step(params, bs, opt, stacked, rng)
+
+    def full_loss(p):
+        out, mut = model.apply({"params": p, "batch_stats": bs}, full,
+                               train=True, rngs={"dropout": rng},
+                               mutable=["batch_stats"])
+        s, w = loss_fn(out, full.y, full.y_mask)
+        return s / jnp.maximum(w, 1.0), mut["batch_stats"]
+
+    (loss_ref, bs_ref), grads = jax.value_and_grad(
+        full_loss, has_aux=True)(params)
+    updates, _ = tx.update(grads, opt, params)
+    p_ref = optax.apply_updates(params, updates)
+
+    assert np.allclose(float(loss_2d), float(loss_ref), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_2d), jax.tree.leaves(p_ref)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_halo_traffic_smaller_than_allgather():
+    """The halo exchanges strictly fewer rows than a full all_gather of
+    the cell arena (the point of requested-rows halos)."""
+    n_dev = 4
+    batch = pack_complexes(_complexes(), max_dim=2, pad_multiple=64)
+    sharded = shard_batch(batch, n_dev)
+    for k, d in enumerate(sharded.dims):
+        n_local = d.cell_mask.shape[1]
+        if d.up_send is not None and d.up_mask.sum() > 0:
+            assert d.up_send.shape[-1] < n_local * n_dev
