@@ -48,3 +48,60 @@ def sr_embedding_magnitude(y_pred: np.ndarray) -> float:
     eps (parity: exp/evaluate_sr_cwn_emb_mag.py + exp/test_sr.py:90-113).
     Must stay well below ~5e8 for eps=0.01 to be meaningful in fp64."""
     return float(np.abs(np.asarray(y_pred)).max())
+
+
+SR_FAMILY_NAMES = {                 # display names, plot_sr_cwn_results.py:17-26
+    "sr16622": "SR(16,6,2,2)", "sr251256": "SR(25,12,5,6)",
+    "sr261034": "SR(26,10,3,4)", "sr281264": "SR(28,12,6,4)",
+    "sr291467": "SR(29,14,6,7)", "sr351668": "SR(35,16,6,8)",
+    "sr351899": "SR(35,18,9,9)", "sr361446": "SR(36,14,4,6)",
+    "sr401224": "SR(40,12,2,4)"}
+
+
+def plot_sr_results(result_files: Dict[str, str], out_png: str,
+                    log_floor: float = 1e-6):
+    """Grouped log-scale bar chart of SR failure rates per family, one group
+    per experiment — the TPU port of /root/reference/exp/plot_sr_cwn_results.py
+    (which reads per-family npy files; ours reads the exp_runs/sr json dumps).
+
+    result_files: {legend label -> path to sr_ring*.json}; zero failure
+    rates are floored at `log_floor` so they render on the log axis, as the
+    reference does.  Returns the table {label -> {family -> (mean, std)}}.
+    """
+    import json
+
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    table = {}
+    for label, path in result_files.items():
+        with open(path) as f:
+            data = json.load(f)
+        fams = data.get("families", {k: v for k, v in data.items()
+                                     if k in SR_FAMILY_NAMES})
+        table[label] = {
+            fam: (float(v["mean"]),
+                  float(v.get("std", (v["max"] - v["min"]) / 2)))
+            for fam, v in fams.items()}
+
+    fams = [f for f in SR_FAMILY_NAMES if any(f in t for t in table.values())]
+    xs = np.arange(len(fams))
+    width = 0.8 / max(len(table), 1)
+    fig, ax = plt.subplots(figsize=(10, 4))
+    for i, (label, res) in enumerate(table.items()):
+        means = np.array([max(res.get(f, (np.nan,))[0], log_floor)
+                          for f in fams])
+        errs = np.array([res.get(f, (0, 0))[1] for f in fams])
+        ax.bar(xs + i * width, means, width, yerr=errs, label=label)
+    ax.set_yscale("log")
+    ax.set_ylim(log_floor / 2, 1.5)
+    ax.set_xticks(xs + 0.4 - width / 2)
+    ax.set_xticklabels([SR_FAMILY_NAMES[f] for f in fams],
+                       rotation=30, ha="right")
+    ax.set_ylabel("failure rate")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=150)
+    plt.close(fig)
+    return table

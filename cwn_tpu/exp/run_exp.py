@@ -163,6 +163,16 @@ def main(args) -> Dict:
     """Run one experiment; returns the curves/results dict."""
     import jax
 
+    # Persistent compilation cache: TPU compiles go through a remote
+    # helper and can take minutes cold; repeat runs (multi-seed wrappers,
+    # resumed experiments) must hit the on-disk cache.
+    cache_dir = os.environ.get(
+        "CWN_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     np.random.seed(args.seed)
 
     # --device -1 pins to the CPU backend (small experiments where TPU

@@ -254,7 +254,11 @@ class Trainer:
     @staticmethod
     def _batch_trainable(batch: ComplexBatch) -> bool:
         """Skip batches whose smallest populated dim has <=1 cells (BN
-        safety, /root/reference/exp/train_utils.py:38-49)."""
+        safety).  Exact parity with /root/reference/exp/train_utils.py:31-46,
+        which takes min over per-dim cell counts (num_samples there is
+        cells, not complexes); our batch carries all max_dim+1 dims as
+        static-shape containers, so empty dims (= dims the reference's
+        dynamic batch.dimension would exclude) are filtered first."""
         counts = [int(d.cell_mask.sum()) for d in batch.dims]
         present = [c for c in counts if c > 0]
         return bool(present) and min(present) > 1
@@ -272,10 +276,17 @@ class Trainer:
 
     def train_epoch(self, loader) -> List[float]:
         curve = []
+        skips = total = 0
         for batch in loader:
+            total += 1
             if not self._batch_trainable(batch):
+                skips += 1
                 continue
             curve.append(self.train_batch(batch))
+        if total and skips / total >= 0.25:
+            # Parity: reference warns when >=25% of an epoch's batches are
+            # BN-skipped (/root/reference/exp/train_utils.py:47-49).
+            print(f"Warning! {skips}/{total} batches were skipped this epoch")
         return curve
 
     def predict(self, loader) -> np.ndarray:

@@ -12,7 +12,7 @@ import pytest
 from cwn_tpu.batch import PadPlan, pack_complexes
 from cwn_tpu.lift import ring_2complex
 from cwn_tpu.models import SparseCIN
-from tests.fixtures import all_test_graphs
+from tests.fixtures import all_test_graphs, house_graph, square_graph
 
 
 def lift_all(max_k=7):
@@ -109,3 +109,84 @@ def test_pad_plan_union_covers():
     o1 = np.asarray(model.apply(vs, small, train=False))
     o2 = np.asarray(model.apply(vs, big, train=False))
     assert np.allclose(o1[0], o2[0], atol=1e-5)
+
+
+def _multiset(src, dst, shared, mask):
+    v = mask > 0
+    if shared is None:
+        return {(int(s), int(d)) for s, d in zip(src[v], dst[v])}
+    return {(int(s), int(d), int(c))
+            for s, d, c in zip(src[v], dst[v], shared[v])}
+
+
+def test_house_square_exact_batched_tensors():
+    """Exact batched index tensors for [house, square], hand-derived.
+
+    Mirrors /root/reference/data/test_batching.py's literal-tensor checks:
+    every adjacency of every dim is asserted as an explicit multiset of
+    GLOBAL (offset-shifted) ids, pinning the __inc__ offset semantics —
+    upper/lower offset by num_cells(k), shared_coboundaries by
+    num_cells(k+1), shared_boundaries by num_cells(k-1), and
+    boundary_index's dual offset (row0 by num_cells(k-1), row1 by
+    num_cells(k)) (/root/reference/data/complex.py:148-169)."""
+    house = house_graph()
+    square = square_graph()
+    cs = [ring_2complex(g.x, g.edge_index, None, g.num_nodes, y=g.y, max_k=6)
+          for g in (house, square)]
+    batch = pack_complexes(cs, max_dim=2, pad_multiple=8)
+
+    # House: 5 verts, 6 lex edges, rings [triangle(3,4,5), square(0,1,2,3)].
+    # Square: 4 verts, 4 lex edges [(0,1),(0,3),(1,2),(2,3)], 1 ring.
+    h_edges = [(0, 1), (0, 3), (1, 2), (2, 3), (2, 4), (3, 4)]
+    s_edges = [(0, 1), (0, 3), (1, 2), (2, 3)]
+    OV, OE, OR = 5, 6, 2        # square's offsets = house cell counts
+
+    # dim0 upper: one symmetric pair per edge, shared cob = edge id.
+    expect = set()
+    for e, (u, v) in enumerate(h_edges):
+        expect |= {(u, v, e), (v, u, e)}
+    for e, (u, v) in enumerate(s_edges):
+        expect |= {(u + OV, v + OV, e + OE), (v + OV, u + OV, e + OE)}
+    b0 = batch.dims[0]
+    assert _multiset(b0.up_src, b0.up_dst, b0.up_cob, b0.up_mask) == expect
+
+    # dim1 upper: all ordered pairs within each ring's boundary edges.
+    expect = set()
+    for rid, edges in [(0, [3, 4, 5]), (1, [0, 1, 2, 3])]:
+        expect |= {(a, b, rid) for a in edges for b in edges if a != b}
+    sq = [e + OE for e in range(4)]
+    expect |= {(a, b, OR) for a in sq for b in sq if a != b}
+    b1 = batch.dims[1]
+    assert _multiset(b1.up_src, b1.up_dst, b1.up_cob, b1.up_mask) == expect
+
+    # dim1 lower: edges sharing a vertex, shared = the vertex id.
+    expect = set()
+    for edges, ov, oe in [(h_edges, 0, 0), (s_edges, OV, OE)]:
+        for i, e1 in enumerate(edges):
+            for j, e2 in enumerate(edges):
+                if i == j:
+                    continue
+                for v in set(e1) & set(e2):
+                    expect.add((i + oe, j + oe, v + ov))
+    assert _multiset(b1.down_src, b1.down_dst, b1.down_shared,
+                     b1.down_mask) == expect
+
+    # dim1 boundary: vertex -> edge links (dual offset).
+    expect = set()
+    for edges, ov, oe in [(h_edges, 0, 0), (s_edges, OV, OE)]:
+        for e, (u, v) in enumerate(edges):
+            expect |= {(u + ov, e + oe), (v + ov, e + oe)}
+    assert _multiset(b1.b_src, b1.b_dst, None, b1.b_mask) == expect
+
+    # dim2 boundary: ring -> its edges.
+    expect = {(3, 0), (4, 0), (5, 0),
+              (0, 1), (1, 1), (2, 1), (3, 1)}
+    expect |= {(e + OE, OR) for e in range(4)}
+    b2 = batch.dims[2]
+    assert _multiset(b2.b_src, b2.b_dst, None, b2.b_mask) == expect
+
+    # Batch (owner) vectors over valid cells.
+    for k, counts in [(0, (5, 4)), (1, (6, 4)), (2, (2, 1))]:
+        buf = batch.dims[k]
+        owners = buf.batch[buf.cell_mask > 0]
+        assert owners.tolist() == [0] * counts[0] + [1] * counts[1]
