@@ -27,8 +27,9 @@ program up to summation order.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +61,80 @@ def _round8(n: int) -> int:
     return max(8, ((n + 7) // 8) * 8)
 
 
+@dataclasses.dataclass(frozen=True)
+class EPShapes:
+    """Per-dim EP buffer shapes: edge capacities and halo widths.
+
+    Two batches packed with the same PadPlan can still need different
+    per-shard edge capacities and halo request widths (both are functions
+    of which cells the edges touch, not just of the padded sizes).  For
+    DP x EP stacking, measure each DP shard's requirements, union them,
+    and pass the union to `shard_batch(shapes=...)` so every shard's EP
+    pack is stack-compatible.
+
+    caps[k]  = (cap_up, cap_down, cap_b)              per-shard edge slots
+    halos[k] = (p_up, p_cob, p_down, p_dsh, p_b)      per-owner halo rows
+    """
+
+    caps: Tuple[Tuple[int, int, int], ...]
+    halos: Tuple[Tuple[int, int, int, int, int], ...]
+
+    @staticmethod
+    def union(shapes: Sequence["EPShapes"]) -> "EPShapes":
+        return EPShapes(
+            caps=tuple(tuple(max(s.caps[k][i] for s in shapes)
+                             for i in range(3))
+                       for k in range(len(shapes[0].caps))),
+            halos=tuple(tuple(max(s.halos[k][i] for s in shapes)
+                              for i in range(5))
+                        for k in range(len(shapes[0].halos))))
+
+
+def _channel_shape(src, dst, mask, n_local: int, n_src_local: int,
+                   d: int) -> Tuple[int, int]:
+    """Required (edge capacity, halo width) for one channel's shard pack."""
+    owner = dst // n_local
+    valid = mask != 0
+    cap = 0
+    p = 8
+    for r in range(d):
+        sel = (owner == r) & valid
+        cap = max(cap, int(sel.sum()))
+        reqs, _ = _halo_requests(src, sel, d, n_src_local)
+        p = max(p, max((len(q) for q in reqs), default=0))
+    return _round8(cap), _round8(p)
+
+
+def measure_ep_shapes(batch: ComplexBatch, n_devices: int) -> EPShapes:
+    """The EPShapes shard_batch would use for this batch (see EPShapes)."""
+    d = n_devices
+    caps, halos = [], []
+    for k, buf in enumerate(batch.dims):
+        n_pad = buf.cell_mask.shape[0]
+        n_local = n_pad // d
+        n_dn_pad = batch.dims[k - 1].cell_mask.shape[0] if k > 0 else d
+        n_up_pad = (batch.dims[k + 1].cell_mask.shape[0]
+                    if k + 1 < len(batch.dims) else d)
+        up_src = buf.up_src.astype(np.int64)
+        up_dst = buf.up_dst.astype(np.int64)
+        cap_up, p_up = _channel_shape(up_src, up_dst, buf.up_mask,
+                                      n_local, n_local, d)
+        _, p_cob = _channel_shape(buf.up_cob.astype(np.int64), up_dst,
+                                  buf.up_mask, n_local, n_up_pad // d, d)
+        dn_src = buf.down_src.astype(np.int64)
+        dn_dst = buf.down_dst.astype(np.int64)
+        cap_dn, p_dn = _channel_shape(dn_src, dn_dst, buf.down_mask,
+                                      n_local, n_local, d)
+        _, p_dsh = _channel_shape(buf.down_shared.astype(np.int64), dn_dst,
+                                  buf.down_mask, n_local, n_dn_pad // d, d)
+        cap_b, p_b = _channel_shape(buf.b_src.astype(np.int64),
+                                    buf.b_dst.astype(np.int64), buf.b_mask,
+                                    n_local, n_dn_pad // d, d)
+        caps.append((cap_up, cap_dn, cap_b))
+        halos.append((p_up, p_cob, p_dn, p_dsh, p_b))
+    return EPShapes(caps=tuple(caps), halos=tuple(halos))
+
+
 def _halo_requests(global_src: np.ndarray, valid: np.ndarray, d: int,
                    n_src_local: int):
     """For one destination shard: the rows it needs from every owner.
@@ -73,26 +148,33 @@ def _halo_requests(global_src: np.ndarray, valid: np.ndarray, d: int,
 
 
 def _shard_channel(src, dst, extras, mask, n_local: int, n_src_local: int,
-                   d: int):
+                   d: int, cap: Optional[int] = None,
+                   p: Optional[int] = None):
     """Partition one channel's dst-sorted edges into D shards and build the
     halo plan for its source stream.
 
     Returns per-shard edge arrays [D, E_cap] (src rewritten to halo
     positions, dst re-based local), per-shard extras, and the send matrix
-    [D_sender, D_dst, P]."""
+    [D_sender, D_dst, P].  `cap`/`p` force the edge capacity / halo width
+    (must cover this batch's requirements) so several batches produce
+    stack-compatible shards (see EPShapes)."""
     owner = dst // n_local
     valid = mask != 0
     sel = [(owner == r) & valid for r in range(d)]
-    cap = _round8(max((int(s.sum()) for s in sel), default=0))
+    need_cap = _round8(max((int(s.sum()) for s in sel), default=0))
+    assert cap is None or cap >= need_cap, (cap, need_cap)
+    cap = need_cap if cap is None else cap
 
     # Halo requests per destination shard.
     reqs = []
-    p = 8
+    need_p = 8
     for r in range(d):
         req_r, _ = _halo_requests(src, sel[r], d, n_src_local)
         reqs.append(req_r)
-        p = max(p, max((len(q) for q in req_r), default=0))
-    p = _round8(p)
+        need_p = max(need_p, max((len(q) for q in req_r), default=0))
+    need_p = _round8(need_p)
+    assert p is None or p >= need_p, (p, need_p)
+    p = need_p if p is None else p
 
     send = np.zeros((d, d, p), np.int32)        # [sender, dst, P]
     for r in range(d):
@@ -126,16 +208,24 @@ def _shard_channel(src, dst, extras, mask, n_local: int, n_src_local: int,
 
 
 def shard_batch(batch: ComplexBatch, n_devices: int,
-                axis: str = "cells") -> ComplexBatch:
+                axis: str = "cells",
+                shapes: Optional[EPShapes] = None) -> ComplexBatch:
     """Re-pack a ComplexBatch for edge partitioning over `axis`.
 
     Cell arrays become [D, N/D, ...]; each channel's edges are dst-shard
     partitioned with halo-position sources; complex-level labels are
     replicated per device.  The result is fed to shard_map with every
-    leaf sharded on its leading axis."""
+    leaf sharded on its leading axis.
+
+    Per-shard edge capacities and halo widths default to this batch's
+    requirements; pass `shapes` (a covering EPShapes, e.g. the union over
+    several same-plan batches) to force deterministic shard shapes for
+    DP x EP stacking."""
     d = n_devices
     new_dims = []
     for k, buf in enumerate(batch.dims):
+        kcaps = shapes.caps[k] if shapes is not None else (None,) * 3
+        khalos = shapes.halos[k] if shapes is not None else (None,) * 5
         n_pad = buf.cell_mask.shape[0]
         assert n_pad % d == 0, f"padded cells {n_pad} not divisible by {d}"
         n_local = n_pad // d
@@ -156,24 +246,29 @@ def shard_batch(batch: ComplexBatch, n_devices: int,
             buf.up_src.astype(np.int64), buf.up_dst.astype(np.int64),
             [buf.up_orient if buf.up_orient is not None
              else np.zeros_like(buf.up_mask)],
-            buf.up_mask, n_local, n_local, d)
+            buf.up_mask, n_local, n_local, d,
+            cap=kcaps[0], p=khalos[0])
         up_cob, _, _, _, cob_send = _shard_channel(
             buf.up_cob.astype(np.int64), buf.up_dst.astype(np.int64), [],
-            buf.up_mask, n_local, n_up_pad // d, d)
+            buf.up_mask, n_local, n_up_pad // d, d,
+            cap=kcaps[0], p=khalos[1])
 
         down_src, down_dst, down_mask, (down_orient,), down_send = \
             _shard_channel(
                 buf.down_src.astype(np.int64), buf.down_dst.astype(np.int64),
                 [buf.down_orient if buf.down_orient is not None
                  else np.zeros_like(buf.down_mask)],
-                buf.down_mask, n_local, n_local, d)
+                buf.down_mask, n_local, n_local, d,
+                cap=kcaps[1], p=khalos[2])
         down_shared, _, _, _, dsh_send = _shard_channel(
             buf.down_shared.astype(np.int64), buf.down_dst.astype(np.int64),
-            [], buf.down_mask, n_local, n_dn_pad // d, d)
+            [], buf.down_mask, n_local, n_dn_pad // d, d,
+            cap=kcaps[1], p=khalos[3])
 
         b_src, b_dst, b_mask, _, b_send = _shard_channel(
             buf.b_src.astype(np.int64), buf.b_dst.astype(np.int64), [],
-            buf.b_mask, n_local, n_dn_pad // d, d)
+            buf.b_mask, n_local, n_dn_pad // d, d,
+            cap=kcaps[2], p=khalos[4])
 
         new_dims.append(CochainBuffers(
             x=split_cells(buf.x),
@@ -195,6 +290,19 @@ def shard_batch(batch: ComplexBatch, n_devices: int,
                                           (d,) + np.asarray(a).shape).copy())
     return batch.replace(dims=tuple(new_dims), y=rep(batch.y),
                          y_mask=rep(batch.y_mask))
+
+
+def shard_batch_stack(batches: Sequence[ComplexBatch], n_ep: int,
+                      axis: str = "cells") -> ComplexBatch:
+    """EP-shard several same-plan ComplexBatches (one per DP shard) with
+    harmonised shapes and stack them on a leading data axis.
+
+    The result's leaves are [D_dp, D_ep, ...] — the input format of
+    make_dp_ep_train_step over a ('data', 'cells') mesh."""
+    shapes = EPShapes.union([measure_ep_shapes(b, n_ep) for b in batches])
+    shards = [shard_batch(b, n_ep, axis=axis, shapes=shapes)
+              for b in batches]
+    return jax.tree.map(lambda *xs: np.stack(xs, 0), *shards)
 
 
 def make_ep_train_step(model, tx, mesh: Mesh, loss_fn: Callable,

@@ -17,7 +17,8 @@ from cwn_tpu.lift import ring_2complex
 from cwn_tpu.models import SparseCIN
 from cwn_tpu.mp import propagate
 from cwn_tpu.parallel.edge_partition import (
-    ep_forward, make_dp_ep_train_step, make_ep_train_step, shard_batch)
+    EPShapes, ep_forward, make_dp_ep_train_step, make_ep_train_step,
+    measure_ep_shapes, shard_batch, shard_batch_stack)
 from tests.fixtures import all_test_graphs
 
 
@@ -149,11 +150,9 @@ def test_dp_ep_2d_mesh_step_matches_single_device():
     plan = PadPlan.union([
         PadPlan.for_complexes(complexes[:half], 2, pad_multiple=64),
         PadPlan.for_complexes(complexes[half:], 2, pad_multiple=64)])
-    shard_a = shard_batch(
-        pack_complexes(complexes[:half], max_dim=2, plan=plan), 2)
-    shard_b = shard_batch(
-        pack_complexes(complexes[half:], max_dim=2, plan=plan), 2)
-    stacked = jax.tree.map(lambda *xs: np.stack(xs, 0), shard_a, shard_b)
+    stacked = shard_batch_stack(
+        [pack_complexes(cs, max_dim=2, plan=plan)
+         for cs in (complexes[:half], complexes[half:])], 2)
     full = pack_complexes(complexes, max_dim=2, pad_multiple=64)
 
     model, variables = _model_setup(full)
@@ -187,6 +186,45 @@ def test_dp_ep_2d_mesh_step_matches_single_device():
     assert np.allclose(float(loss_2d), float(loss_ref), atol=1e-5)
     for a, b in zip(jax.tree.leaves(p_2d), jax.tree.leaves(p_ref)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_shard_batch_stack_heterogeneous_shards():
+    """Regression for the round-2 dryrun crash: two DP shards packed from
+    DIFFERENT complex sets with one shared PadPlan must produce
+    stack-compatible EP shards (per-shard edge caps and halo widths are
+    data-dependent without harmonisation — shard_batch_stack forces the
+    union EPShapes)."""
+    from cwn_tpu.batch import PadPlan
+    base = _complexes(1)
+    # Deliberately skewed halves: big complexes vs small ones.
+    sets = [[base[i] for i in (0, 1, 2)] * 2,
+            [base[i] for i in (3, 4)] * 3]
+    plan = PadPlan.union([PadPlan.for_complexes(cs, 2, pad_multiple=32)
+                          for cs in sets])
+    packs = [pack_complexes(cs, max_dim=2, plan=plan) for cs in sets]
+
+    # Without harmonisation the shapes genuinely differ (else this test
+    # would be vacuous) ...
+    sh = [measure_ep_shapes(p, 2) for p in packs]
+    assert sh[0] != sh[1]
+    # ... with it, stacking succeeds and shapes follow the union.
+    stacked = shard_batch_stack(packs, 2)
+    union = EPShapes.union(sh)
+    for k, d in enumerate(stacked.dims):
+        assert d.up_src.shape == (2, 2, union.caps[k][0])
+        assert d.down_src.shape == (2, 2, union.caps[k][1])
+        assert d.b_src.shape == (2, 2, union.caps[k][2])
+        assert d.up_send.shape[-1] == union.halos[k][0]
+        assert d.cob_send.shape[-1] == union.halos[k][1]
+
+    # And the forced-shape shards still compute correctly: EP forward of
+    # shard 0 == single-device forward of pack 0.
+    model, variables = _model_setup(packs[0])
+    mesh = Mesh(np.array(jax.devices("cpu")[:2]), ("cells",))
+    shard0 = jax.tree.map(lambda a: a[0], stacked)
+    ref = model.apply(variables, packs[0], train=False)
+    got = ep_forward(model, variables, shard0, mesh)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
 def test_halo_traffic_smaller_than_allgather():
