@@ -384,7 +384,8 @@ def pack_complexes(complexes: Sequence[Complex], max_dim: int,
 def add_tile_plans(batch: ComplexBatch, tile: int = 256, window: int = 256,
                    block: int = 256,
                    precision: str = "high",
-                   feat_hint: int = 128) -> ComplexBatch:
+                   feat_hint: int = 128,
+                   auto_geometry: bool = True) -> ComplexBatch:
     """Attach Pallas SpMM tile plans (forward + transpose) to every
     adjacency of the batch.  Orientation weights, when present, are folded
     into the plan weights (message = orient * x_src).
@@ -396,9 +397,15 @@ def add_tile_plans(batch: ComplexBatch, tile: int = 256, window: int = 256,
 
     feat_hint: expected feature width; adjacencies whose source + output
     arrays fit VMEM at this width get the faster windowed-scatter kernel
-    (output fully VMEM-resident), larger ones the block-grid kernel."""
+    (output fully VMEM-resident), larger ones the block-grid kernel.
+
+    auto_geometry=False pins the block-grid kernel geometry to the given
+    tile/window/block instead of the data-driven occupancy search — plan
+    STATIC shapes then depend only on the PadPlan + argument geometry
+    (tile counts still vary with data; see add_tile_plans_sharded)."""
     from cwn_tpu.ops.tiles import (PRECISION_PASSES, build_tile_plan_auto,
                                    build_window_plan)
+    from cwn_tpu.ops import tiles as _tiles
 
     passes = PRECISION_PASSES[precision]
     # VMEM budget for windowed mode: sources + extras + output resident.
@@ -409,8 +416,12 @@ def add_tile_plans(batch: ComplexBatch, tile: int = 256, window: int = 256,
         if n_src + num_extra + n_dst <= vmem_rows:
             return build_window_plan(src, dst, w, n_src, n_dst, extra=extra,
                                      num_extra=num_extra, **kw)
-        return build_tile_plan_auto(src, dst, w, n_src, n_dst, extra=extra,
-                                    num_extra=num_extra, **kw)
+        if auto_geometry:
+            return build_tile_plan_auto(src, dst, w, n_src, n_dst,
+                                        extra=extra, num_extra=num_extra,
+                                        **kw)
+        return _tiles.build_tile_plan(src, dst, w, n_src, n_dst, extra=extra,
+                                      num_extra=num_extra, **kw)
 
     new_dims = []
     for k, d in enumerate(batch.dims):
@@ -418,6 +429,15 @@ def add_tile_plans(batch: ComplexBatch, tile: int = 256, window: int = 256,
         n_dn = batch.dims[k - 1].cell_mask.shape[0] if k > 0 else 0
         n_up = (batch.dims[k + 1].cell_mask.shape[0]
                 if k + 1 < len(batch.dims) else 0)
+        # Shared-cell (attr) streams and the fused-message backward plans
+        # only matter when the neighbour dim has actual cells with
+        # features; a padded-but-empty neighbour (e.g. FLOW's vertex dim)
+        # can never feed a fused channel, and skipping its extra stream
+        # removes the planner's range-table work on the big channels.
+        dn_valid = (n_dn > 0
+                    and float(batch.dims[k - 1].cell_mask.sum()) > 0)
+        up_valid = (n_up > 0
+                    and float(batch.dims[k + 1].cell_mask.sum()) > 0)
 
         def plans(src, dst, mask, orient, n_src, n_dst,
                   shared=None, n_shared=0):
@@ -442,11 +462,11 @@ def add_tile_plans(batch: ComplexBatch, tile: int = 256, window: int = 256,
         if d.up_src.shape[0] > 0:
             up_p, up_pt, up_bs, up_bc = plans(
                 d.up_src, d.up_dst, d.up_mask, d.up_orient, n_k, n_k,
-                shared=(d.up_cob if n_up > 0 else None), n_shared=n_up)
+                shared=(d.up_cob if up_valid else None), n_shared=n_up)
         if d.down_src.shape[0] > 0:
             down_p, down_pt, down_bs, down_bc = plans(
                 d.down_src, d.down_dst, d.down_mask, d.down_orient, n_k, n_k,
-                shared=(d.down_shared if n_dn > 0 else None), n_shared=n_dn)
+                shared=(d.down_shared if dn_valid else None), n_shared=n_dn)
         if k > 0 and d.b_src.shape[0] > 0:
             b_p, b_pt, _, _ = plans(d.b_src, d.b_dst, d.b_mask, None,
                                     n_dn, n_k)
@@ -463,3 +483,84 @@ def add_tile_plans(batch: ComplexBatch, tile: int = 256, window: int = 256,
             b_plan=b_p, b_plan_t=b_pt,
             pool_plan=pool_p, pool_plan_t=pool_pt))
     return batch.replace(dims=tuple(new_dims))
+
+
+PLAN_FIELDS = ("up_plan", "up_plan_t", "up_plan_bs", "up_plan_bc",
+               "down_plan", "down_plan_t", "down_plan_bs", "down_plan_bc",
+               "b_plan", "b_plan_t", "pool_plan", "pool_plan_t")
+
+
+def _pad_plan_tiles(plan, target: int):
+    """Append all-masked tiles so plan.num_tiles == target.
+
+    Padding tiles carry mask 0 (zero contribution), window/dst starts 0
+    (always in range: num_src/num_dst pad to >= window/block) and, in grid
+    mode, repeat the last out block (keeps the non-decreasing invariant —
+    the same trick the builders use for their own bucketing padding)."""
+    t = plan.num_tiles
+    if t >= target:
+        assert t == target or target == 0, (t, target)
+        return plan
+
+    pad = target - t
+
+    def tail(a, fill=0):
+        if a is None:
+            return None
+        return np.concatenate(
+            [a, np.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0)
+
+    out_block = tail(plan.out_block,
+                     int(plan.out_block[-1]) if t else 0)
+    return plan.replace(
+        src_rel=tail(plan.src_rel), dst_rel=tail(plan.dst_rel),
+        mask=tail(plan.mask), extra_rel=tail(plan.extra_rel),
+        win_start=tail(plan.win_start), extra_start=tail(plan.extra_start),
+        out_block=out_block,
+        dst_start=tail(plan.dst_start))
+
+
+def add_tile_plans_sharded(shards: Sequence[ComplexBatch], tile: int = 256,
+                           window: int = 256, block: int = 256,
+                           precision: str = "high",
+                           feat_hint: int = 128) -> List[ComplexBatch]:
+    """add_tile_plans over data-parallel shards with IDENTICAL plan shapes.
+
+    Same-PadPlan shards can still plan different tile counts (tiles are a
+    function of the edge distribution) and, with the occupancy autotuner,
+    different geometries — either breaks stacking on a device axis.  Here
+    every shard plans with pinned geometry, tile counts are padded up to
+    the per-(dim, channel) maximum, and the static `empty` flag is forced
+    uniform (False) so pytree structures agree; all-masked padding tiles
+    contribute zeros, so per-shard results are unchanged."""
+    planned = [add_tile_plans(s, tile=tile, window=window, block=block,
+                              precision=precision, feat_hint=feat_hint,
+                              auto_geometry=False)
+               for s in shards]
+    if len(planned) <= 1:
+        return planned
+
+    n_dims = len(planned[0].dims)
+    targets = {}
+    for k in range(n_dims):
+        for f in PLAN_FIELDS:
+            plans = [getattr(p.dims[k], f) for p in planned]
+            have = [pl for pl in plans if pl is not None]
+            # Plan presence is shape-determined, so all-or-none per slot.
+            assert len(have) in (0, len(plans)), (k, f)
+            if have:
+                targets[(k, f)] = max(pl.num_tiles for pl in have)
+
+    out = []
+    for p in planned:
+        dims = []
+        for k, d in enumerate(p.dims):
+            repl = {}
+            for f in PLAN_FIELDS:
+                pl = getattr(d, f)
+                if pl is not None:
+                    repl[f] = _pad_plan_tiles(
+                        pl, targets[(k, f)]).replace(empty=False)
+            dims.append(d.replace(**repl) if repl else d)
+        out.append(p.replace(dims=tuple(dims)))
+    return out

@@ -120,6 +120,19 @@ class CINppCochainConv(nn.Module):
 
     Parity: /root/reference/mp/layers.py:216-260 (CINppCochainConv); eps
     assignment follows its forward: eps1 -> up, eps2 -> down, eps3 -> boundary.
+
+    DELIBERATE DIVERGENCE (documented, switchable): the reference CODE's
+    lower-adjacency messages are structurally zero — `CINppCochainConv`
+    inherits `use_down_msg=False` from `SparseCINCochainConv.__init__`
+    (/root/reference/mp/layers.py:167-168) and its forward never passes
+    `down_attr` to propagate (/root/reference/mp/layers.py:243-248), so
+    `propagate` zero-fills the channel (/root/reference/mp/cell_mp.py:376).
+    The reference's CIN++ is therefore CIN plus an
+    `update_down_nn((1+eps2) x)` self-term.  This module implements the
+    CIN++ *paper* (real down messages) by default; set
+    `ref_quirk_no_down_msg=True` to reproduce the reference code's
+    semantics exactly (message sum zeroed, eps residual + update_down MLP
+    + 3-way combine retained).
     """
 
     dim: int
@@ -129,6 +142,7 @@ class CINppCochainConv(nn.Module):
     use_coboundaries: bool = False
     train_eps: bool = False
     init_eps: float = 0.0
+    ref_quirk_no_down_msg: bool = False
 
     @nn.compact
     def __call__(self, buf, x, x_up, x_down, boundary_attr, train: bool = False):
@@ -164,7 +178,9 @@ class CINppCochainConv(nn.Module):
                 def message_up(xj, attr):
                     return act(jnp.concatenate([xj, attr], axis=-1) @ k_up
                                + b_up)
-            if (buf.down_src.shape[0] > 0 and fused_channel_usable(
+            if self.ref_quirk_no_down_msg:
+                pass                     # reference code: no down messages
+            elif (buf.down_src.shape[0] > 0 and fused_channel_usable(
                     buf.down_plan, buf.down_plan_bs, buf.down_plan_bc, x,
                     x_down, self.act)):
                 fused_down = fused_mlp_channel(
@@ -191,13 +207,14 @@ class CINppCochainConv(nn.Module):
         out_up, out_down, out_bnd = propagate(
             buf, x, up_attr=up_attr, down_attr=down_attr,
             boundary_attr=boundary_attr,
-            message_up=message_up, message_down=message_down,
+            message_up=message_up,
+            message_down=None if self.ref_quirk_no_down_msg else message_down,
             message_boundary=(lambda b: b) if boundary_attr is not None else None,
             up_identity=not self.use_coboundaries,
             down_identity=not self.use_coboundaries, boundary_identity=True)
         if fused_up is not None:
             out_up = fused_up
-        if fused_down is not None:
+        if fused_down is not None and not self.ref_quirk_no_down_msg:
             out_down = fused_down
 
         out_up = out_up + (1.0 + eps1) * x
@@ -232,6 +249,7 @@ class SparseCINLayer(nn.Module):
     train_eps: bool = False
     max_dim: int = 2
     include_down: bool = False       # True -> CIN++ convs
+    ref_quirk_no_down_msg: bool = False   # see CINppCochainConv docstring
     include_boundary_features: bool = True
     include_top_features: bool = True
 
@@ -251,7 +269,9 @@ class SparseCINLayer(nn.Module):
                 conv = CINppCochainConv(
                     dim=k, hidden=self.hidden, act=self.act, norm=self.norm,
                     use_coboundaries=self.use_coboundaries,
-                    train_eps=self.train_eps, name=f"dim{k}")
+                    train_eps=self.train_eps,
+                    ref_quirk_no_down_msg=self.ref_quirk_no_down_msg,
+                    name=f"dim{k}")
                 out.append(conv(buf, xs[k], x_up, x_down, b_attr, train=train))
             else:
                 conv = SparseCINCochainConv(
@@ -286,6 +306,7 @@ class SparseCIN(nn.Module):
     apply_dropout_before: str = "lin2"
     graph_norm: str = "bn"
     include_down: bool = False       # True -> CIN++
+    ref_quirk_no_down_msg: bool = False   # see CINppCochainConv docstring
 
     def _readout_dims(self):
         if self.readout_dims is not None:
@@ -313,6 +334,7 @@ class SparseCIN(nn.Module):
                 hidden=self.hidden, act=self.nonlinearity, norm=self.graph_norm,
                 use_coboundaries=self.use_coboundaries, train_eps=self.train_eps,
                 max_dim=self.max_dim, include_down=self.include_down,
+                ref_quirk_no_down_msg=self.ref_quirk_no_down_msg,
                 name=f"conv{c}")(data, xs, train=train)
             if include_partial:
                 for k in range(len(xs)):

@@ -50,6 +50,7 @@ class EmbedSparseCIN(nn.Module):
     use_coboundaries: bool = False
     graph_norm: str = "bn"
     include_down: bool = False                # True -> CIN++ convs
+    ref_quirk_no_down_msg: bool = False       # see CINppCochainConv docstring
     ogb_encoders: bool = False                # True -> Atom/Bond encoders
     conv_dropout: bool = False                # True -> dropout on conv outputs (OGB)
 
@@ -87,7 +88,9 @@ class EmbedSparseCIN(nn.Module):
                 hidden=self.hidden, act=self.nonlinearity,
                 norm=self.graph_norm, use_coboundaries=self.use_coboundaries,
                 train_eps=self.train_eps, max_dim=self.max_dim,
-                include_down=self.include_down, name=f"conv{c}")(
+                include_down=self.include_down,
+                ref_quirk_no_down_msg=self.ref_quirk_no_down_msg,
+                name=f"conv{c}")(
                     data, xs, train=train)
             if self.conv_dropout:
                 xs = [conv_dropout(x, deterministic=not train) for x in xs]

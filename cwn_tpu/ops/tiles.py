@@ -255,8 +255,12 @@ def _grid_boundaries(src, dst, extra, tile: int, window: int, block: int):
 def build_tile_plan(src, dst, mask, num_src: int, num_dst: int,
                     extra=None, num_extra: int = 0,
                     tile: int = 512, window: int = 512, block: int = 256,
-                    bucket_tiles: bool = True, passes: int = 2) -> TilePlan:
-    """Plan dst-sorted edges into kernel tiles (see module docstring)."""
+                    bucket_tiles: bool = True, passes: int = 2,
+                    min_tiles: int = 0) -> TilePlan:
+    """Plan dst-sorted edges into kernel tiles (see module docstring).
+
+    min_tiles forces at least that many (padded) tiles — used to give
+    several same-shape batches identical plan shapes (DP shard stacking)."""
     src, dst, weights, extra_v = _sorted_valid(src, dst, mask, extra)
     has_extra = extra is not None
     n = len(dst)
@@ -284,6 +288,7 @@ def build_tile_plan(src, dst, mask, num_src: int, num_dst: int,
     n_real = len(t_starts)
     n_tiles = n_real + len(missing)
     target = _pow2_round(n_tiles) if bucket_tiles else n_tiles
+    target = max(target, min_tiles)
     pad_count = target - n_real
 
     src_rel, dst_abs, m, ex_rel, win_start, ex_start = _fill_tiles(
@@ -326,7 +331,7 @@ def build_tile_plan(src, dst, mask, num_src: int, num_dst: int,
     return plan
 
 
-_TUNER_SAMPLE_EDGES = 200_000
+_TUNER_SAMPLE_EDGES = 50_000
 
 
 def build_tile_plan_auto(src, dst, mask, num_src: int, num_dst: int,
@@ -410,7 +415,7 @@ def build_window_plan(src, dst, mask, num_src: int, num_dst: int,
                       extra=None, num_extra: int = 0,
                       tile: int = 256, window: int = 256, block: int = 256,
                       supertile: int = 4, passes: int = 2,
-                      bucket_tiles: bool = True) -> TilePlan:
+                      bucket_tiles: bool = True, min_tiles: int = 0) -> TilePlan:
     """Plan edges for the windowed-scatter kernel (TilePlan.dst_start).
 
     Like build_tile_plan but the dst constraint is a movable 8-aligned
@@ -454,6 +459,7 @@ def build_window_plan(src, dst, mask, num_src: int, num_dst: int,
     target = _round_up(n_tiles, supertile)
     if bucket_tiles:
         target = _round_up(_pow2_round(n_tiles), supertile)
+    target = max(target, _round_up(min_tiles, supertile))
     pad_count = target - len(t_starts)
 
     src_rel, dst_abs, m, ex_rel, win_start, ex_start = _fill_tiles(

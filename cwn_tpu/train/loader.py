@@ -52,14 +52,15 @@ class ComplexLoader:
         self.keep_top_upper = keep_top_upper
         self.x_dtype = x_dtype
         self.drop_last = drop_last
-        self.use_pallas = use_pallas and n_shards == 1
+        self.use_pallas = use_pallas
         self.kernel_tile = kernel_tile
         self.device_prefetch = device_prefetch
         # n_shards > 1: yield data-parallel batches — each global batch is
         # split into n contiguous shards packed with a SHARED PadPlan and
-        # stacked on a leading device axis (shard_map slices it).  The
-        # Pallas tile plans are per-shard-shape and are not attached in
-        # this mode (the DP step rides the XLA segment-sum path).
+        # stacked on a leading device axis (shard_map slices it).  With
+        # use_pallas, per-shard tile plans are harmonised to identical
+        # shapes (add_tile_plans_sharded) so the kernel fast path survives
+        # data parallelism.
         self.n_shards = n_shards
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
@@ -69,6 +70,11 @@ class ComplexLoader:
         self.cache_batches = (not shuffle) if cache_batches is None \
             else cache_batches
         self._cached_batches: Optional[List[ComplexBatch]] = None
+        # Device-side replay cache: with device_prefetch, cached batches are
+        # kept ON DEVICE across epochs — re-uploading identical packed
+        # buffers (indices + tile plans, tens of MB) every epoch dominates
+        # wall time on a tunneled chip.
+        self._staged_batches: Optional[List[ComplexBatch]] = None
         # Shuffled loaders over structure-UNIFORM datasets (every complex
         # shares identical adjacency/orientation arrays — FLOW, OCEAN,
         # ring benchmarks) reuse one packed template per batch count and
@@ -85,21 +91,33 @@ class ComplexLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[ComplexBatch]:
+        if self.device_prefetch and self._staged_batches is not None:
+            self._epoch += 1
+            yield from self._staged_batches
+            return
         it = self._iter_host()
         if not self.device_prefetch:
             yield from it
             return
         # One-deep device prefetch: upload batch i+1 (async dispatch of
         # device_put) while batch i computes — hides host->device latency.
+        # device_put is a no-op for leaves already on device (the uniform
+        # template fast path keeps everything but x/y/sel device-resident).
         import jax
+        collect = [] if self.cache_batches else None
         pending = None
         for batch in it:
             staged = jax.device_put(batch)
+            if collect is not None:
+                collect.append(staged)
             if pending is not None:
                 yield pending
             pending = staged
         if pending is not None:
             yield pending
+        if collect is not None:
+            self._staged_batches = collect
+            self._cached_batches = None      # host copy now redundant
 
     def _iter_host(self) -> Iterator[ComplexBatch]:
         if self.cache_batches and self._cached_batches is not None:
@@ -160,6 +178,14 @@ class ComplexLoader:
         tpl = self._templates.get(count)
         if tpl is None:
             tpl = self._pack_one(batch_complexes)
+            if self.device_prefetch:
+                # Stage the template on device ONCE: later batches replace
+                # only the per-sample streams (x / y / sel), so the big
+                # index + tile-plan leaves never cross the host->device
+                # link again (the link is a tunnel; re-uploading the same
+                # ~30 MB template every step starved the FLOW runs).
+                import jax
+                tpl = jax.device_put(tpl)
             self._templates[count] = tpl
             return tpl
         dims = []
@@ -169,21 +195,21 @@ class ComplexLoader:
             repl = {}
             if n_k and d.x is not None:
                 f = d.x.shape[1]
-                x = np.zeros_like(d.x)
+                x = np.zeros(d.x.shape, np.dtype(d.x.dtype))
                 x[:count * n_k] = np.concatenate([
-                    np.asarray(c.cochains[k].x, d.x.dtype)
+                    np.asarray(c.cochains[k].x, np.dtype(d.x.dtype))
                     if c.cochains[k].x is not None
-                    else np.zeros((n_k, f), d.x.dtype)
+                    else np.zeros((n_k, f), np.dtype(d.x.dtype))
                     for c in batch_complexes], axis=0)
                 repl["x"] = x
             if n_k and d.y is not None:
-                y = np.zeros_like(d.y)
+                y = np.zeros(d.y.shape, np.dtype(d.y.dtype))
                 y[:count * n_k] = np.concatenate([
                     np.asarray(c.cochains[k].y).reshape(-1)
                     for c in batch_complexes])
                 repl["y"] = y
             if n_k and d.sel_mask is not None:
-                sel = np.zeros_like(d.sel_mask)
+                sel = np.zeros(d.sel_mask.shape, np.dtype(d.sel_mask.dtype))
                 sel[:count * n_k] = np.concatenate([
                     np.asarray(c.cochains[k].mask, np.float32).reshape(-1)
                     if c.cochains[k].mask is not None
@@ -197,8 +223,8 @@ class ComplexLoader:
                              for c in batch_complexes])
             if vals.shape[1] == 1:
                 vals = vals[:, 0]
-            y = np.zeros_like(tpl.y)
-            y[:count] = vals.astype(tpl.y.dtype)
+            y = np.zeros(tpl.y.shape, np.dtype(tpl.y.dtype))
+            y[:count] = vals.astype(np.dtype(tpl.y.dtype))
         return tpl.replace(dims=tuple(dims), y=y)
 
     def _pack_sharded(self, batch_complexes) -> ComplexBatch:
@@ -223,6 +249,11 @@ class ComplexLoader:
                                  keep_top_upper=self.keep_top_upper)
                   for g in groups]
         shards = _harmonize_shards(shards)
+        if self.use_pallas:
+            from cwn_tpu.batch import add_tile_plans_sharded
+            shards = add_tile_plans_sharded(shards, tile=self.kernel_tile,
+                                            window=self.kernel_tile,
+                                            block=self.kernel_tile)
         return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *shards)
 
 
