@@ -179,6 +179,19 @@ def main():
         pass
     dt_pl, pl_times = _time_steps_alloc(mk_pl, step_pl, batch_pl, allocs=4)
 
+    # Measured anchor: the same step on torch-CPU scatter ops (cached — the
+    # anchor machine does not change between runs).
+    anchor_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".bench_torch_anchor.json")
+    if os.path.exists(anchor_file):
+        with open(anchor_file) as f:
+            dt_torch = json.load(f)["step_time_s"]
+    else:
+        dt_torch = _torch_cpu_anchor(batch)
+        with open(anchor_file, "w") as f:
+            json.dump({"step_time_s": dt_torch}, f)
+    torch_edges_per_s = msgs_per_step / dt_torch
+
     dt = min(dt_pl, dt_xla)
     edges_per_s = msgs_per_step / dt
     out = {
@@ -186,8 +199,12 @@ def main():
                   "(EmbedSparseCIN cwn-zinc-small train step, ring k=18)",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
-        "vs_baseline": round(edges_per_s / REF_EDGES_PER_S, 3),
-        "baseline_kind": "provisional budget, not a measured reference",
+        "vs_baseline": round(edges_per_s / torch_edges_per_s, 3),
+        "baseline_kind": "measured: same step via torch-CPU scatter "
+                         "(reference-stack ops; no GPU in this env)",
+        "torch_cpu_step_ms": round(dt_torch * 1e3, 3),
+        "torch_cpu_edges_per_s": round(torch_edges_per_s, 1),
+        "vs_provisional_budget": round(edges_per_s / REF_EDGES_PER_S, 3),
         "step_time_ms": round(dt * 1e3, 3),
         "step_time_ms_xla": round(dt_xla * 1e3, 3),
         "step_time_ms_pallas": round(dt_pl * 1e3, 3),
@@ -202,6 +219,123 @@ def main():
         out["flops_per_step"] = flops
         out["tflops_per_s"] = round(flops / dt / 1e12, 3)
     print(json.dumps(out))
+
+
+def _torch_cpu_anchor(batch, num_layers=2, hidden=48, warmup=2, iters=5):
+    """Measured reference-stack anchor: the SAME train step (same packed
+    buffers, same model shape — embed + per-dim cat-Linear-relu up messages,
+    identity boundary messages, index_add_ scatter aggregation, GIN eps
+    residuals, 2-layer update MLPs + combine, per-dim pooling, L1 loss,
+    Adam) implemented with torch-CPU scatter ops, the role torch-scatter
+    plays in the reference (/root/reference/mp/cell_mp.py:423-479).  An
+    honest measured lower bound for `vs_baseline` — the reference publishes
+    no throughput numbers and no GPU is present here (BASELINE.md)."""
+    import torch
+
+    torch.manual_seed(0)
+    F = hidden
+
+    dims = []
+    for d in batch.dims:
+        dims.append(dict(
+            n=d.cell_mask.shape[0],
+            x=None if d.x is None else torch.from_numpy(
+                np.asarray(d.x, np.int64)),
+            up_src=torch.from_numpy(np.asarray(d.up_src, np.int64)),
+            up_dst=torch.from_numpy(np.asarray(d.up_dst, np.int64)),
+            up_cob=torch.from_numpy(np.asarray(d.up_cob, np.int64)),
+            up_mask=torch.from_numpy(np.asarray(d.up_mask, np.float32))[:, None],
+            b_src=torch.from_numpy(np.asarray(d.b_src, np.int64)),
+            b_dst=torch.from_numpy(np.asarray(d.b_dst, np.int64)),
+            b_mask=torch.from_numpy(np.asarray(d.b_mask, np.float32))[:, None],
+            batch=torch.from_numpy(np.asarray(d.batch, np.int64)),
+            cell_mask=torch.from_numpy(
+                np.asarray(d.cell_mask, np.float32))[:, None]))
+    y = torch.from_numpy(np.asarray(batch.y, np.float32))
+    y_mask = torch.from_numpy(np.asarray(batch.y_mask, np.float32))
+    B = batch.batch_size
+
+    class Conv(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            mk = lambda i, o: torch.nn.Linear(i, o)
+            self.msg_up = torch.nn.ModuleList([mk(2 * F, F) for _ in dims])
+            self.upd_up = torch.nn.ModuleList(
+                [torch.nn.Sequential(mk(F, F), torch.nn.BatchNorm1d(F),
+                                     torch.nn.ReLU(), mk(F, F),
+                                     torch.nn.BatchNorm1d(F), torch.nn.ReLU())
+                 for _ in dims])
+            self.upd_b = torch.nn.ModuleList(
+                [torch.nn.Sequential(mk(F, F), torch.nn.BatchNorm1d(F),
+                                     torch.nn.ReLU(), mk(F, F),
+                                     torch.nn.BatchNorm1d(F), torch.nn.ReLU())
+                 for _ in dims])
+            self.combine = torch.nn.ModuleList([mk(2 * F, F) for _ in dims])
+
+        def forward(self, xs):
+            out = []
+            for k, d in enumerate(dims):
+                x = xs[k]
+                x_up = xs[k + 1] if k + 1 < len(dims) else None
+                up = torch.zeros_like(x)
+                if x_up is not None and d["up_src"].numel():
+                    m = torch.cat([x.index_select(0, d["up_src"]),
+                                   x_up.index_select(0, d["up_cob"])], dim=1)
+                    m = torch.relu(self.msg_up[k](m)) * d["up_mask"]
+                    up = up.index_add(0, d["up_dst"], m)
+                bnd = torch.zeros_like(x)
+                if k > 0 and d["b_src"].numel():
+                    m = xs[k - 1].index_select(0, d["b_src"]) * d["b_mask"]
+                    bnd = bnd.index_add(0, d["b_dst"], m)
+                u = self.upd_up[k](up + x)
+                b = self.upd_b[k](bnd + x)
+                out.append(torch.relu(self.combine[k](
+                    torch.cat([u, b], dim=1))))
+            return out
+
+    class Net(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.emb = torch.nn.ModuleList(
+                [torch.nn.Embedding(32, F) for _ in dims])
+            self.convs = torch.nn.ModuleList(
+                [Conv() for _ in range(num_layers)])
+            self.lin1 = torch.nn.ModuleList([torch.nn.Linear(F, 2 * F)
+                                             for _ in dims])
+            self.lin2 = torch.nn.Linear(2 * F, 1)
+
+        def forward(self):
+            xs = []
+            for k, d in enumerate(dims):
+                if d["x"] is not None:
+                    xs.append(self.emb[k](d["x"][:, 0] % 32))
+                else:
+                    xs.append(torch.zeros(d["n"], F))
+            for conv in self.convs:
+                xs = conv(xs)
+            pooled = 0
+            for k, d in enumerate(dims):
+                p = torch.zeros(B + 1, F).index_add(
+                    0, d["batch"].clamp(max=B), xs[k] * d["cell_mask"])[:B]
+                pooled = pooled + torch.relu(self.lin1[k](p))
+            return self.lin2(pooled)
+
+    net = Net()
+    opt = torch.optim.Adam(net.parameters(), lr=1e-3)
+
+    def step():
+        opt.zero_grad()
+        out = net()
+        loss = ((out[:, 0] - y).abs() * y_mask).sum() / y_mask.sum()
+        loss.backward()
+        opt.step()
+
+    for _ in range(warmup):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    return (time.perf_counter() - t0) / iters
 
 
 def main_dp(n_devices: int):

@@ -90,7 +90,14 @@ def plot_sr_results(result_files: Dict[str, str], out_png: str,
     width = 0.8 / max(len(table), 1)
     fig, ax = plt.subplots(figsize=(10, 4))
     for i, (label, res) in enumerate(table.items()):
-        means = np.array([max(res.get(f, (np.nan,))[0], log_floor)
+        # Families absent from this experiment get a visible zero-height
+        # gap and a printed note (NaN would silently drop the bar: Python
+        # max() returns its FIRST arg when NaN comparisons are false).
+        missing = [f for f in fams if f not in res]
+        if missing:
+            print(f"plot_sr_results: '{label}' missing families: "
+                  + ", ".join(missing))
+        means = np.array([max(res[f][0], log_floor) if f in res else 0.0
                           for f in fams])
         errs = np.array([res.get(f, (0, 0))[1] for f in fams])
         ax.bar(xs + i * width, means, width, yerr=errs, label=label)

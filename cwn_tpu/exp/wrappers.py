@@ -17,9 +17,11 @@ RING_SIZES = list(range(10, 32, 2))
 
 SR_FAMILIES = ["sr16622", "sr251256", "sr261034", "sr281264", "sr291467",
                "sr351668", "sr351899", "sr361446", "sr401224"]
-SR_CLIQUE_DIMS = {"sr16622": 3, "sr251256": 4, "sr261034": 5, "sr281264": 5,
-                  "sr291467": 6, "sr351668": 5, "sr351899": 6, "sr361446": 5,
-                  "sr401224": 5}
+# Per-family clique-complex dimension for the MPSN SR protocol
+# (/root/reference/exp/run_sr_exp.py:28-38 __max_dim__, in family order).
+SR_CLIQUE_DIMS = {"sr16622": 3, "sr251256": 4, "sr261034": 3, "sr281264": 6,
+                  "sr291467": 4, "sr351668": 4, "sr351899": 6, "sr361446": 3,
+                  "sr401224": 3}
 
 
 def run_mol_exp(passed_args: List[str]) -> Dict:

@@ -5,6 +5,8 @@ invariants the reference tests establish: per-complex structure is preserved
 under batching (decode-back equality), and model outputs on a batch equal
 per-complex outputs.
 """
+import collections
+
 import numpy as np
 import jax
 import pytest
@@ -112,11 +114,16 @@ def test_pad_plan_union_covers():
 
 
 def _multiset(src, dst, shared, mask):
+    # A true multiset (Counter), not a set: erroneously DUPLICATED entries
+    # in the packed buffers would skew sum-aggregation yet pass a set
+    # comparison.
     v = mask > 0
     if shared is None:
-        return {(int(s), int(d)) for s, d in zip(src[v], dst[v])}
-    return {(int(s), int(d), int(c))
-            for s, d, c in zip(src[v], dst[v], shared[v])}
+        return collections.Counter(
+            (int(s), int(d)) for s, d in zip(src[v], dst[v]))
+    return collections.Counter(
+        (int(s), int(d), int(c))
+        for s, d, c in zip(src[v], dst[v], shared[v]))
 
 
 def test_house_square_exact_batched_tensors():
@@ -148,7 +155,7 @@ def test_house_square_exact_batched_tensors():
     for e, (u, v) in enumerate(s_edges):
         expect |= {(u + OV, v + OV, e + OE), (v + OV, u + OV, e + OE)}
     b0 = batch.dims[0]
-    assert _multiset(b0.up_src, b0.up_dst, b0.up_cob, b0.up_mask) == expect
+    assert _multiset(b0.up_src, b0.up_dst, b0.up_cob, b0.up_mask) == collections.Counter(expect)
 
     # dim1 upper: all ordered pairs within each ring's boundary edges.
     expect = set()
@@ -157,7 +164,7 @@ def test_house_square_exact_batched_tensors():
     sq = [e + OE for e in range(4)]
     expect |= {(a, b, OR) for a in sq for b in sq if a != b}
     b1 = batch.dims[1]
-    assert _multiset(b1.up_src, b1.up_dst, b1.up_cob, b1.up_mask) == expect
+    assert _multiset(b1.up_src, b1.up_dst, b1.up_cob, b1.up_mask) == collections.Counter(expect)
 
     # dim1 lower: edges sharing a vertex, shared = the vertex id.
     expect = set()
@@ -169,21 +176,21 @@ def test_house_square_exact_batched_tensors():
                 for v in set(e1) & set(e2):
                     expect.add((i + oe, j + oe, v + ov))
     assert _multiset(b1.down_src, b1.down_dst, b1.down_shared,
-                     b1.down_mask) == expect
+                     b1.down_mask) == collections.Counter(expect)
 
     # dim1 boundary: vertex -> edge links (dual offset).
     expect = set()
     for edges, ov, oe in [(h_edges, 0, 0), (s_edges, OV, OE)]:
         for e, (u, v) in enumerate(edges):
             expect |= {(u + ov, e + oe), (v + ov, e + oe)}
-    assert _multiset(b1.b_src, b1.b_dst, None, b1.b_mask) == expect
+    assert _multiset(b1.b_src, b1.b_dst, None, b1.b_mask) == collections.Counter(expect)
 
     # dim2 boundary: ring -> its edges.
     expect = {(3, 0), (4, 0), (5, 0),
               (0, 1), (1, 1), (2, 1), (3, 1)}
     expect |= {(e + OE, OR) for e in range(4)}
     b2 = batch.dims[2]
-    assert _multiset(b2.b_src, b2.b_dst, None, b2.b_mask) == expect
+    assert _multiset(b2.b_src, b2.b_dst, None, b2.b_mask) == collections.Counter(expect)
 
     # Batch (owner) vectors over valid cells.
     for k, counts in [(0, (5, 4)), (1, (6, 4)), (2, (2, 1))]:
