@@ -81,6 +81,26 @@ class CochainBuffers:
     # Readout pooling plans (cells -> complex segments) + transpose.
     pool_plan: Optional[object] = None
     pool_plan_t: Optional[object] = None
+    # Uniform-structure batched mode: when every complex in the batch has
+    # IDENTICAL structure (adjacency, orientations, cell counts — FLOW,
+    # OCEAN, ring benchmarks), the identity-message channels run as ONE
+    # shared-structure SpMM over features flattened to [n_struct, B*F]
+    # (cells of complex c live at arena rows c*n_struct + i).  The MXU
+    # then sees a handful of tiles with a B*F-wide value operand instead
+    # of B block-diagonal copies of the structure (64x fewer tiles on
+    # FLOW).  Plans are built by add_uniform_tile_plans; orientation
+    # weights are folded in (identical across complexes by definition).
+    uni_up_plan: Optional[object] = None
+    uni_up_plan_t: Optional[object] = None
+    uni_down_plan: Optional[object] = None
+    uni_down_plan_t: Optional[object] = None
+    uni_b_plan: Optional[object] = None
+    uni_b_plan_t: Optional[object] = None
+    uni_cells: Optional[int] = struct.field(pytree_node=False, default=None)
+    uni_count: Optional[int] = struct.field(pytree_node=False, default=None)
+    # Structure cell count of dim k-1 (the boundary channel's source dim).
+    uni_b_src_cells: Optional[int] = struct.field(pytree_node=False,
+                                                  default=None)
     # Edge-partitioned (EP) mode: when `ep_axis` names a mesh axis the
     # batch is cell-sharded over it and the engine halo-exchanges source
     # rows with one all_to_all per channel (cwn_tpu.parallel.edge_partition).
@@ -482,6 +502,75 @@ def add_tile_plans(batch: ComplexBatch, tile: int = 256, window: int = 256,
             down_plan_bs=down_bs, down_plan_bc=down_bc,
             b_plan=b_p, b_plan_t=b_pt,
             pool_plan=pool_p, pool_plan_t=pool_pt))
+    return batch.replace(dims=tuple(new_dims))
+
+
+def add_uniform_tile_plans(batch: ComplexBatch, template: Complex,
+                           count: int, precision: str = "high",
+                           feat_hint: int = 64,
+                           vmem_budget: int = 2 * 1024 * 1024) -> ComplexBatch:
+    """Attach shared-structure tile plans for a batch of `count` complexes
+    that ALL share `template`'s structure (see CochainBuffers.uni_*).
+
+    The kernels run on features reshaped to [n_struct, count * F], so the
+    plan geometry (window/block) is sized for that width: each DMA'd x
+    window / output block must fit the VMEM budget at count*feat_hint
+    lanes.  One plan per channel + its transpose (for the custom VJP)."""
+    from cwn_tpu.ops.tiles import PRECISION_PASSES, build_tile_plan
+
+    passes = PRECISION_PASSES[precision]
+    width = max(count * feat_hint, 128)
+    width_pad = ((width + 127) // 128) * 128
+    # Scoped-VMEM sizing (16 MB limit): the x window scratch is single
+    # (window * lanes * 4B) and the output block double-buffers
+    # (2 * block * lanes * 4B) — keep each under ~4 MB.  Swept on a v5e at
+    # 4096 lanes: (tile 256, window 256, block 128) runs the FLOW up/down
+    # structure channels at ~20 us; tile 512 fails to compile.
+    win_rows = max(8, (4 * 1024 * 1024 // (4 * width_pad)) // 8 * 8)
+    blk_rows = max(8, (vmem_budget // (4 * width_pad)) // 8 * 8)
+    geom = dict(tile=256,
+                window=max(min(256, win_rows), 128),
+                block=max(min(128, blk_rows), 128),
+                passes=passes)
+
+    new_dims = []
+    for k, d in enumerate(batch.dims):
+        co = template.cochains.get(k)
+        if co is None or not (co.num_cells or 0):
+            new_dims.append(d)
+            continue
+        n_struct = int(co.num_cells)
+        n_dn = None
+        if k > 0 and template.cochains.get(k - 1) is not None:
+            n_dn = int(template.cochains[k - 1].num_cells or 0)
+
+        def uplan(index, orient, n_src, n_dst):
+            if index is None or index.shape[1] == 0:
+                return None, None
+            src = np.asarray(index[0], np.int64)
+            dst = np.asarray(index[1], np.int64)
+            w = np.ones(len(src), np.float32) if orient is None \
+                else np.asarray(orient, np.float32)
+            fwd = build_tile_plan(src, dst, w, n_src, n_dst, **geom)
+            bwd = build_tile_plan(dst, src, w, n_dst, n_src, **geom)
+            return fwd, bwd
+
+        up_p, up_pt = uplan(co.upper_index, co.upper_orient,
+                            n_struct, n_struct)
+        dn_p, dn_pt = uplan(co.lower_index, co.lower_orient,
+                            n_struct, n_struct)
+        b_p = b_pt = None
+        if co.boundary_index is not None and n_dn:
+            b_p, b_pt = uplan(co.boundary_index, None, n_dn, n_struct)
+        if up_p is None and dn_p is None and b_p is None:
+            new_dims.append(d)
+            continue
+        new_dims.append(d.replace(
+            uni_up_plan=up_p, uni_up_plan_t=up_pt,
+            uni_down_plan=dn_p, uni_down_plan_t=dn_pt,
+            uni_b_plan=b_p, uni_b_plan_t=b_pt,
+            uni_cells=n_struct, uni_count=count,
+            uni_b_src_cells=n_dn if b_p is not None else None))
     return batch.replace(dims=tuple(new_dims))
 
 

@@ -65,7 +65,16 @@ def run_sr_exp(passed_args: List[str],
         for seed in range(args.start_seed, args.stop_seed + 1):
             extra = ["--dataset", family, "--seed", str(seed)]
             if args.max_ring_size is None:
-                extra += ["--max_dim", str(SR_CLIQUE_DIMS[family])]
+                max_dim = SR_CLIQUE_DIMS[family]
+                extra += ["--max_dim", str(max_dim)]
+            else:
+                max_dim = 2
+            # Read out over ALL complex dims — the reference wrapper
+            # overrides the (0,1,2) default with range(max_dim+1)
+            # (/root/reference/exp/run_sr_exp.py:77-80); without the
+            # higher-dim readouts the clique families at dim>2 lose
+            # distinguishing power (observed: 5-8% failure vs ~0).
+            extra += ["--readout_dims"] + [str(i) for i in range(max_dim + 1)]
             res = main(parser.parse_args(copy.copy(passed_args) + extra))
             rates.append(res["failure_rate"])
         table[family] = {"mean": float(np.mean(rates)),

@@ -257,12 +257,16 @@ class SparseCINLayer(nn.Module):
     def __call__(self, data: ComplexBatch, xs, train: bool = False,
                  start_to_process: int = 0):
         out = []
-        for k in range(self.max_dim + 1):
+        # A batch may carry fewer dims than the model's max_dim (e.g. a
+        # clique lift that found no cells above some dimension); missing
+        # dims behave as empty, matching the reference's zero-fill
+        # (/root/reference/mp/models.py:171-185).
+        for k in range(min(self.max_dim + 1, len(data.dims))):
             if k < start_to_process:
                 out.append(xs[k])
                 continue
             buf = data.dims[k]
-            x_up = xs[k + 1] if k < self.max_dim else None
+            x_up = xs[k + 1] if k + 1 < len(xs) else None
             x_down = xs[k - 1] if k > 0 else None
             b_attr = xs[k - 1] if (k > 0 and self.include_boundary_features) else None
             if self.include_down:

@@ -38,7 +38,11 @@ class CINReadoutHead(nn.Module):
                        plan_t=data.dims[k].pool_plan_t)
             for k in range(len(xs))
         ]
-        sel = [pooled[i] for i in self.readout_dims]
+        # Readout dims beyond the batch's dims pool to zeros (the
+        # reference's pool_complex zero-fills missing dims,
+        # /root/reference/mp/nn.py:50-60).
+        sel = [pooled[i] if i < len(pooled) else jnp.zeros_like(pooled[0])
+               for i in self.readout_dims]
         if include_partial and res is not None:
             for k in range(len(sel)):
                 res[f"pool_{k}"] = sel[k]

@@ -39,11 +39,16 @@ class OrientedConv(nn.Module):
         # no orientations recorded).
         plans_ok = self.orient or buf.up_orient is None
 
-        from cwn_tpu.mp import _identity_channel, _plan_usable
+        from cwn_tpu.mp import (_identity_channel, _plan_usable,
+                                _uniform_channel, _uniform_usable)
 
         up_out = jnp.zeros((n, x.shape[-1]), x.dtype)
         if self.use_up and buf.up_src.shape[0] > 0:
-            if plans_ok and _plan_usable(buf.up_plan, x):
+            if plans_ok and _uniform_usable(buf.uni_up_plan, buf, x):
+                up_out = _uniform_channel(
+                    x, buf.uni_up_plan, buf.uni_up_plan_t,
+                    buf.uni_cells, buf.uni_cells, buf.uni_count, n)
+            elif plans_ok and _plan_usable(buf.up_plan, x):
                 up_out = _identity_channel(x, buf.up_plan, buf.up_plan_t, n)
             else:
                 m = jnp.take(x, buf.up_src, axis=0, mode="clip")
@@ -54,7 +59,11 @@ class OrientedConv(nn.Module):
 
         down_out = jnp.zeros((n, x.shape[-1]), x.dtype)
         if buf.down_src.shape[0] > 0:
-            if plans_ok and _plan_usable(buf.down_plan, x):
+            if plans_ok and _uniform_usable(buf.uni_down_plan, buf, x):
+                down_out = _uniform_channel(
+                    x, buf.uni_down_plan, buf.uni_down_plan_t,
+                    buf.uni_cells, buf.uni_cells, buf.uni_count, n)
+            elif plans_ok and _plan_usable(buf.down_plan, x):
                 down_out = _identity_channel(x, buf.down_plan,
                                              buf.down_plan_t, n)
             else:

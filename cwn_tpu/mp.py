@@ -57,6 +57,31 @@ def _identity_channel(x_source, plan, plan_t, n):
     return segment_spmm_ad(x_source, plan, plan_t)[:n]
 
 
+def _uniform_channel(x_source, plan, plan_t, n_src_struct: int,
+                     n_dst_struct: int, count: int, n: int):
+    """Shared-structure batched identity channel.
+
+    Every complex in the batch has the SAME adjacency (and orientations);
+    the arena holds their cells complex-major, so [count*n_struct, F]
+    reshapes to [n_struct, count*F] (cell-major) and ONE small SpMM over
+    the structure plan applies the adjacency to all complexes at once —
+    the value operand is count*F lanes wide, which is what the MXU wants.
+    """
+    from cwn_tpu.ops.pallas_segment import segment_spmm_ad
+    f = x_source.shape[-1]
+    xb = x_source[:count * n_src_struct].reshape(count, n_src_struct, f)
+    xb = jnp.swapaxes(xb, 0, 1).reshape(n_src_struct, count * f)
+    out = segment_spmm_ad(xb, plan, plan_t)[:n_dst_struct]
+    out = out.reshape(n_dst_struct, count, f)
+    out = jnp.swapaxes(out, 0, 1).reshape(count * n_dst_struct, f)
+    return jnp.pad(out, ((0, n - count * n_dst_struct), (0, 0)))
+
+
+def _uniform_usable(plan, buf, x) -> bool:
+    return (plan is not None and buf.uni_count is not None
+            and x.dtype == jnp.float32 and buf.ep_axis is None)
+
+
 def fused_mlp_channel(x, x_shared, kernel, bias, plan, plan_bs, plan_bc,
                       act: str, n: int):
     """Fused non-identity channel: segsum_dst(act(W [x_j ; attr] + b)).
@@ -129,7 +154,12 @@ def propagate(buf: CochainBuffers,
 
     up_out = zeros
     if message_up is not None and buf.up_src.shape[0] > 0:
-        if up_identity and _plan_usable(buf.up_plan, x) and aggr_up == "add":
+        if up_identity and aggr_up == "add" \
+                and _uniform_usable(buf.uni_up_plan, buf, x):
+            up_out = _uniform_channel(x, buf.uni_up_plan, buf.uni_up_plan_t,
+                                      buf.uni_cells, buf.uni_cells,
+                                      buf.uni_count, n)
+        elif up_identity and _plan_usable(buf.up_plan, x) and aggr_up == "add":
             up_out = _identity_channel(x, buf.up_plan, buf.up_plan_t, n)
         else:
             up_x_j = _source_rows(buf, x, buf.up_send, buf.up_src)
@@ -139,7 +169,12 @@ def propagate(buf: CochainBuffers,
 
     down_out = zeros
     if message_down is not None and buf.down_src.shape[0] > 0:
-        if down_identity and _plan_usable(buf.down_plan, x) and aggr_down == "add":
+        if down_identity and aggr_down == "add" \
+                and _uniform_usable(buf.uni_down_plan, buf, x):
+            down_out = _uniform_channel(
+                x, buf.uni_down_plan, buf.uni_down_plan_t,
+                buf.uni_cells, buf.uni_cells, buf.uni_count, n)
+        elif down_identity and _plan_usable(buf.down_plan, x) and aggr_down == "add":
             down_out = _identity_channel(x, buf.down_plan, buf.down_plan_t, n)
         else:
             down_x_j = _source_rows(buf, x, buf.down_send, buf.down_src)
@@ -151,7 +186,12 @@ def propagate(buf: CochainBuffers,
     boundary_out = zeros
     if message_boundary is not None and boundary_attr is not None \
             and buf.b_src.shape[0] > 0:
-        if boundary_identity and _plan_usable(buf.b_plan, boundary_attr) \
+        if boundary_identity and aggr_boundary == "add" \
+                and _uniform_usable(buf.uni_b_plan, buf, boundary_attr):
+            boundary_out = _uniform_channel(
+                boundary_attr, buf.uni_b_plan, buf.uni_b_plan_t,
+                buf.uni_b_src_cells, buf.uni_cells, buf.uni_count, n)
+        elif boundary_identity and _plan_usable(buf.b_plan, boundary_attr) \
                 and aggr_boundary == "add":
             boundary_out = _identity_channel(boundary_attr, buf.b_plan,
                                              buf.b_plan_t, n)
@@ -169,6 +209,10 @@ def boundary_reduce(boundary_x: jnp.ndarray, buf: CochainBuffers,
                     num_cells: int, reduce: str = "add") -> jnp.ndarray:
     """Reduce boundary-cell features into each cell (InitReduceConv,
     /root/reference/mp/layers.py:473-487)."""
+    if reduce == "add" and _uniform_usable(buf.uni_b_plan, buf, boundary_x):
+        return _uniform_channel(boundary_x, buf.uni_b_plan, buf.uni_b_plan_t,
+                                buf.uni_b_src_cells, buf.uni_cells,
+                                buf.uni_count, num_cells)
     if reduce == "add" and _plan_usable(buf.b_plan, boundary_x):
         return _identity_channel(boundary_x, buf.b_plan, buf.b_plan_t,
                                  num_cells)

@@ -122,7 +122,10 @@ def _kernel_vmem(win_ref, blk_ref, srcrel_ref, dstrel_ref, mask_ref,
 def _kernel_hbm(win_ref, blk_ref, srcrel_ref, dstrel_ref, mask_ref,
                 x_ref, out_ref, xwin, sem, *, tile, window, block, passes):
     t = pl.program_id(0)
-    w0 = win_ref[t]
+    # Plans 8-align every window start ((src//8)*8, clamped to an 8-aligned
+    # num_src_pad); Mosaic needs the annotation to prove the HBM slice is
+    # sublane-tiled (it can't infer it for wide lane layouts).
+    w0 = pl.multiple_of(win_ref[t], 8)
     cp = pltpu.make_async_copy(x_ref.at[pl.ds(w0, window), :], xwin, sem)
     cp.start()
     cp.wait()

@@ -80,9 +80,15 @@ class ComplexLoader:
         # ring benchmarks) reuse one packed template per batch count and
         # only rewrite the per-sample streams (x / y / sel) each batch:
         # per-batch cost drops from a full pack + tile planning to a
-        # couple of memcpys.
+        # couple of memcpys.  With device_prefetch, the per-sample streams
+        # of the WHOLE dataset are additionally staged on device once
+        # (a "bank") and batches are formed by device-side gather — the
+        # per-step host->device traffic drops to the index vector, which
+        # matters on a tunneled chip (~1.4 MB/batch was ~67 ms of the
+        # FLOW step).
         self._uniform: Optional[bool] = None
         self._templates: dict = {}
+        self._bank: Optional[dict] = None
 
     def __len__(self) -> int:
         n = len(self.complexes)
@@ -138,7 +144,7 @@ class ComplexLoader:
                 yield self._pack_sharded(batch_complexes)
                 continue
             if self.shuffle and self._is_uniform():
-                batch = self._pack_uniform(batch_complexes)
+                batch = self._pack_uniform(batch_complexes, chunk)
             else:
                 batch = self._pack_one(batch_complexes)
             if collect is not None:
@@ -147,7 +153,8 @@ class ComplexLoader:
         if collect is not None:
             self._cached_batches = collect
 
-    def _pack_one(self, batch_complexes) -> ComplexBatch:
+    def _pack_one(self, batch_complexes,
+                  skip_edge_plans: bool = False) -> ComplexBatch:
         plan = self.fixed_plan
         if plan is None:
             plan = PadPlan.for_complexes(
@@ -158,7 +165,7 @@ class ComplexLoader:
         packed = pack_complexes(batch_complexes, self.max_dim, plan=plan,
                                 x_dtype=self.x_dtype,
                                 keep_top_upper=self.keep_top_upper)
-        if self.use_pallas:
+        if self.use_pallas and not skip_edge_plans:
             from cwn_tpu.batch import add_tile_plans
             packed = add_tile_plans(packed, tile=self.kernel_tile,
                                     window=self.kernel_tile,
@@ -173,11 +180,96 @@ class ComplexLoader:
                                                   self.max_dim)
         return self._uniform
 
-    def _pack_uniform(self, batch_complexes) -> ComplexBatch:
+    def _ensure_bank(self) -> bool:
+        """Stage every sample's per-sample streams (x / y / sel / complex y)
+        on device once; returns False if the dataset shape doesn't allow it
+        (mixed feature presence)."""
+        if self._bank is not None:
+            return self._bank.get("ok", False)
+        import jax
+        import jax.numpy as jnp
+
+        bank = {"ok": True, "dims": {}}
+        try:
+            for k in range(self.max_dim + 1):
+                co0 = self.complexes[0].cochains.get(k)
+                if co0 is None or not (co0.num_cells or 0):
+                    continue
+                entry = {}
+                cos = [c.cochains[k] for c in self.complexes]
+                if co0.x is not None:
+                    entry["x"] = jnp.asarray(np.stack(
+                        [np.asarray(co.x, self.x_dtype) for co in cos]))
+                if co0.y is not None:
+                    entry["y"] = jnp.asarray(np.stack(
+                        [np.asarray(co.y).reshape(-1) for co in cos]))
+                if co0.mask is not None:
+                    entry["sel"] = jnp.asarray(np.stack(
+                        [np.asarray(co.mask, np.float32).reshape(-1)
+                         for co in cos]))
+                bank["dims"][k] = entry
+            if self.complexes[0].y is not None:
+                bank["y"] = jnp.asarray(np.stack(
+                    [np.asarray(c.y).reshape(-1).astype(np.float32)
+                     for c in self.complexes]))
+        except (ValueError, TypeError):
+            bank = {"ok": False}
+        self._bank = bank
+        return bank["ok"]
+
+    def _pack_uniform_bank(self, tpl, chunk) -> ComplexBatch:
+        """Form a batch on device: gather the chunk's rows from the staged
+        bank into the (device-resident) template's stream slots."""
+        import jax.numpy as jnp
+
+        idx = jnp.asarray(np.asarray(chunk, np.int32))
+        count = len(chunk)
+        dims = []
+        for k, d in enumerate(tpl.dims):
+            entry = self._bank["dims"].get(k)
+            if entry is None:
+                dims.append(d)
+                continue
+            repl = {}
+            if "x" in entry and d.x is not None:
+                xs = entry["x"][idx]                       # [count, n, F]
+                flat = xs.reshape(-1, xs.shape[-1])
+                repl["x"] = jnp.pad(
+                    flat, ((0, d.x.shape[0] - flat.shape[0]), (0, 0)))
+            if "y" in entry and d.y is not None:
+                ys = entry["y"][idx].reshape(-1)
+                repl["y"] = jnp.pad(
+                    ys, (0, d.y.shape[0] - ys.shape[0])).astype(d.y.dtype)
+            if "sel" in entry and d.sel_mask is not None:
+                ss = entry["sel"][idx].reshape(-1)
+                repl["sel_mask"] = jnp.pad(
+                    ss, (0, d.sel_mask.shape[0] - ss.shape[0]))
+            dims.append(d.replace(**repl) if repl else d)
+        y = tpl.y
+        if y is not None and "y" in self._bank:
+            vals = self._bank["y"][idx]
+            if vals.shape[1] == 1:
+                vals = vals[:, 0]
+            pad = [(0, tpl.y.shape[0] - count)] + \
+                [(0, 0)] * (vals.ndim - 1)
+            y = jnp.pad(vals, pad).astype(tpl.y.dtype)
+        return tpl.replace(dims=tuple(dims), y=y)
+
+    def _pack_uniform(self, batch_complexes, chunk=None) -> ComplexBatch:
         count = len(batch_complexes)
         tpl = self._templates.get(count)
+        if tpl is not None and chunk is not None and self.device_prefetch \
+                and self._ensure_bank():
+            return self._pack_uniform_bank(tpl, chunk)
         if tpl is None:
-            tpl = self._pack_one(batch_complexes)
+            # Uniform structure -> shared-structure batched plans: ONE
+            # SpMM per channel over [n_struct, count*F], superseding the
+            # per-edge block-diagonal plans (64x fewer tiles on FLOW, and
+            # planning drops from seconds to milliseconds).
+            tpl = self._pack_one(batch_complexes, skip_edge_plans=True)
+            if self.use_pallas:
+                from cwn_tpu.batch import add_uniform_tile_plans
+                tpl = add_uniform_tile_plans(tpl, batch_complexes[0], count)
             if self.device_prefetch:
                 # Stage the template on device ONCE: later batches replace
                 # only the per-sample streams (x / y / sel), so the big
