@@ -40,7 +40,8 @@ class OrientedConv(nn.Module):
         plans_ok = self.orient or buf.up_orient is None
 
         from cwn_tpu.mp import (_identity_channel, _plan_usable,
-                                _uniform_channel, _uniform_usable)
+                                _uniform_channel, _uniform_usable,
+                                halo_gather_src)
 
         up_out = jnp.zeros((n, x.shape[-1]), x.dtype)
         if self.use_up and buf.up_src.shape[0] > 0:
@@ -49,7 +50,10 @@ class OrientedConv(nn.Module):
                     x, buf.uni_up_plan, buf.uni_up_plan_t,
                     buf.uni_cells, buf.uni_cells, buf.uni_count, n)
             elif plans_ok and _plan_usable(buf.up_plan, x):
-                up_out = _identity_channel(x, buf.up_plan, buf.up_plan_t, n)
+                src = x if buf.ep_axis is None else \
+                    halo_gather_src(buf, x, buf.up_send)
+                up_out = _identity_channel(src, buf.up_plan,
+                                           buf.up_plan_t, n)
             else:
                 m = jnp.take(x, buf.up_src, axis=0, mode="clip")
                 if self.orient and buf.up_orient is not None:
@@ -64,7 +68,9 @@ class OrientedConv(nn.Module):
                     x, buf.uni_down_plan, buf.uni_down_plan_t,
                     buf.uni_cells, buf.uni_cells, buf.uni_count, n)
             elif plans_ok and _plan_usable(buf.down_plan, x):
-                down_out = _identity_channel(x, buf.down_plan,
+                src = x if buf.ep_axis is None else \
+                    halo_gather_src(buf, x, buf.down_send)
+                down_out = _identity_channel(src, buf.down_plan,
                                              buf.down_plan_t, n)
             else:
                 m = jnp.take(x, buf.down_src, axis=0, mode="clip")

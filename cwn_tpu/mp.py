@@ -27,12 +27,17 @@ from cwn_tpu.batch import CochainBuffers
 from cwn_tpu.ops import segment_reduce
 
 
+def halo_gather_src(buf, x_source, send):
+    """The edge-partitioned halo buffer for one channel ([D*P, F])."""
+    from cwn_tpu.parallel.edge_partition import halo_gather
+    return halo_gather(x_source, send, buf.ep_axis)
+
+
 def _source_rows(buf, x_source, send, positions):
     """Rows of x_source addressed by per-edge `positions` — a local take,
     or a halo all_to_all + take in edge-partitioned mode."""
     if buf.ep_axis is not None and send is not None:
-        from cwn_tpu.parallel.edge_partition import halo_gather
-        halo = halo_gather(x_source, send, buf.ep_axis)
+        halo = halo_gather_src(buf, x_source, send)
         return jnp.take(halo, positions, axis=0, mode='clip')
     return jnp.take(x_source, positions, axis=0, mode='clip')
 
@@ -160,7 +165,10 @@ def propagate(buf: CochainBuffers,
                                       buf.uni_cells, buf.uni_cells,
                                       buf.uni_count, n)
         elif up_identity and _plan_usable(buf.up_plan, x) and aggr_up == "add":
-            up_out = _identity_channel(x, buf.up_plan, buf.up_plan_t, n)
+            # EP-sharded plans address the halo buffer, not local cells.
+            src_x = x if buf.ep_axis is None else \
+                halo_gather_src(buf, x, buf.up_send)
+            up_out = _identity_channel(src_x, buf.up_plan, buf.up_plan_t, n)
         else:
             up_x_j = _source_rows(buf, x, buf.up_send, buf.up_src)
             msg = message_up(up_x_j, up_attr)
@@ -175,7 +183,10 @@ def propagate(buf: CochainBuffers,
                 x, buf.uni_down_plan, buf.uni_down_plan_t,
                 buf.uni_cells, buf.uni_cells, buf.uni_count, n)
         elif down_identity and _plan_usable(buf.down_plan, x) and aggr_down == "add":
-            down_out = _identity_channel(x, buf.down_plan, buf.down_plan_t, n)
+            src_x = x if buf.ep_axis is None else \
+                halo_gather_src(buf, x, buf.down_send)
+            down_out = _identity_channel(src_x, buf.down_plan,
+                                         buf.down_plan_t, n)
         else:
             down_x_j = _source_rows(buf, x, buf.down_send, buf.down_src)
             msg = message_down(down_x_j, down_attr)
@@ -193,7 +204,9 @@ def propagate(buf: CochainBuffers,
                 buf.uni_b_src_cells, buf.uni_cells, buf.uni_count, n)
         elif boundary_identity and _plan_usable(buf.b_plan, boundary_attr) \
                 and aggr_boundary == "add":
-            boundary_out = _identity_channel(boundary_attr, buf.b_plan,
+            src_b = boundary_attr if buf.ep_axis is None else \
+                halo_gather_src(buf, boundary_attr, buf.b_send)
+            boundary_out = _identity_channel(src_b, buf.b_plan,
                                              buf.b_plan_t, n)
         else:
             boundary_x_j = _source_rows(buf, boundary_attr, buf.b_send,
@@ -214,7 +227,9 @@ def boundary_reduce(boundary_x: jnp.ndarray, buf: CochainBuffers,
                                 buf.uni_b_src_cells, buf.uni_cells,
                                 buf.uni_count, num_cells)
     if reduce == "add" and _plan_usable(buf.b_plan, boundary_x):
-        return _identity_channel(boundary_x, buf.b_plan, buf.b_plan_t,
+        src_b = boundary_x if buf.ep_axis is None else \
+            halo_gather_src(buf, boundary_x, buf.b_send)
+        return _identity_channel(src_b, buf.b_plan, buf.b_plan_t,
                                  num_cells)
     feats = _source_rows(buf, boundary_x, buf.b_send, buf.b_src)
     return segment_reduce(reduce)(

@@ -207,9 +207,38 @@ def _shard_channel(src, dst, extras, mask, n_local: int, n_src_local: int,
     return out_src, out_dst, out_mask, out_extras, send
 
 
+def _shard_plans(src, dst, mask, orient, n_src: int, n_local: int, d: int,
+                 tile: int = 256, window: int = 256, block: int = 256,
+                 passes: int = 2):
+    """Per-shard Pallas tile plans for one EP channel (+ transposes).
+
+    src holds HALO positions in [0, n_src); dst is shard-local.  Tile
+    counts are data-dependent, so every shard's plan is padded to the
+    max across shards (all-masked tiles contribute zeros) and the stack
+    over shards is shape-uniform."""
+    from cwn_tpu.batch import _pad_plan_tiles
+    from cwn_tpu.ops.tiles import build_tile_plan
+
+    geom = dict(tile=tile, window=window, block=block, passes=passes)
+    fwds, bwds = [], []
+    for r in range(d):
+        w = mask[r] if orient is None else mask[r] * orient[r]
+        fwds.append(build_tile_plan(src[r], dst[r], w, n_src, n_local,
+                                    **geom))
+        bwds.append(build_tile_plan(dst[r], src[r], w, n_local, n_src,
+                                    **geom))
+    tf = max(p.num_tiles for p in fwds)
+    tb = max(p.num_tiles for p in bwds)
+    stack = lambda ps: jax.tree.map(lambda *xs: np.stack(xs, 0), *ps)
+    fwd = stack([_pad_plan_tiles(p, tf).replace(empty=False) for p in fwds])
+    bwd = stack([_pad_plan_tiles(p, tb).replace(empty=False) for p in bwds])
+    return fwd, bwd
+
+
 def shard_batch(batch: ComplexBatch, n_devices: int,
                 axis: str = "cells",
-                shapes: Optional[EPShapes] = None) -> ComplexBatch:
+                shapes: Optional[EPShapes] = None,
+                use_pallas: bool = False) -> ComplexBatch:
     """Re-pack a ComplexBatch for edge partitioning over `axis`.
 
     Cell arrays become [D, N/D, ...]; each channel's edges are dst-shard
@@ -270,6 +299,23 @@ def shard_batch(batch: ComplexBatch, n_devices: int,
             buf.b_mask, n_local, n_dn_pad // d, d,
             cap=kcaps[2], p=khalos[4])
 
+        up_p = up_pt = down_p = down_pt = b_p = b_pt = None
+        if use_pallas:
+            if up_mask.any():
+                up_p, up_pt = _shard_plans(
+                    up_src, up_dst, up_mask,
+                    up_orient if buf.up_orient is not None else None,
+                    d * up_send.shape[-1], n_local, d)
+            if down_mask.any():
+                down_p, down_pt = _shard_plans(
+                    down_src, down_dst, down_mask,
+                    down_orient if buf.down_orient is not None else None,
+                    d * down_send.shape[-1], n_local, d)
+            if b_mask.any():
+                b_p, b_pt = _shard_plans(
+                    b_src, b_dst, b_mask, None,
+                    d * b_send.shape[-1], n_local, d)
+
         new_dims.append(CochainBuffers(
             x=split_cells(buf.x),
             cell_mask=split_cells(buf.cell_mask),
@@ -281,6 +327,9 @@ def shard_batch(batch: ComplexBatch, n_devices: int,
             up_orient=up_orient if buf.up_orient is not None else None,
             down_orient=down_orient if buf.down_orient is not None else None,
             y=split_cells(buf.y), sel_mask=split_cells(buf.sel_mask),
+            up_plan=up_p, up_plan_t=up_pt,
+            down_plan=down_p, down_plan_t=down_pt,
+            b_plan=b_p, b_plan_t=b_pt,
             ep_axis=axis,
             up_send=up_send, cob_send=cob_send,
             down_send=down_send, dsh_send=dsh_send, b_send=b_send))
@@ -292,16 +341,65 @@ def shard_batch(batch: ComplexBatch, n_devices: int,
                          y_mask=rep(batch.y_mask))
 
 
+def _pad_stacked_plan(plan, target: int):
+    """Pad a [D, tiles, ...]-stacked TilePlan to `target` tiles (axis 1)."""
+    t = plan.win_start.shape[1]
+    if t >= target:
+        return plan
+
+    def tail(a, repeat_last=False):
+        if a is None:
+            return None
+        if repeat_last:
+            fills = np.repeat(a[:, -1:], target - t, axis=1)
+            return np.concatenate([a, fills], axis=1)
+        return np.pad(a, [(0, 0), (0, target - t)]
+                      + [(0, 0)] * (a.ndim - 2))
+
+    return plan.replace(
+        src_rel=tail(plan.src_rel), dst_rel=tail(plan.dst_rel),
+        mask=tail(plan.mask), extra_rel=tail(plan.extra_rel),
+        win_start=tail(plan.win_start), extra_start=tail(plan.extra_start),
+        out_block=tail(plan.out_block, repeat_last=True),
+        dst_start=tail(plan.dst_start))
+
+
 def shard_batch_stack(batches: Sequence[ComplexBatch], n_ep: int,
-                      axis: str = "cells") -> ComplexBatch:
+                      axis: str = "cells",
+                      use_pallas: bool = False) -> ComplexBatch:
     """EP-shard several same-plan ComplexBatches (one per DP shard) with
     harmonised shapes and stack them on a leading data axis.
 
     The result's leaves are [D_dp, D_ep, ...] — the input format of
-    make_dp_ep_train_step over a ('data', 'cells') mesh."""
+    make_dp_ep_train_step over a ('data', 'cells') mesh.  With use_pallas,
+    per-shard kernel plans are attached and their (data-dependent) tile
+    counts padded to the cross-batch maximum so stacking stays uniform."""
     shapes = EPShapes.union([measure_ep_shapes(b, n_ep) for b in batches])
-    shards = [shard_batch(b, n_ep, axis=axis, shapes=shapes)
+    shards = [shard_batch(b, n_ep, axis=axis, shapes=shapes,
+                          use_pallas=use_pallas)
               for b in batches]
+    if use_pallas and len(shards) > 1:
+        fields = ("up_plan", "up_plan_t", "down_plan", "down_plan_t",
+                  "b_plan", "b_plan_t")
+        targets = {}
+        for k in range(len(shards[0].dims)):
+            for f in fields:
+                plans = [getattr(s.dims[k], f) for s in shards]
+                have = [p for p in plans if p is not None]
+                assert len(have) in (0, len(plans)), (k, f)
+                if have:
+                    targets[(k, f)] = max(p.win_start.shape[1]
+                                          for p in have)
+        out = []
+        for s in shards:
+            dims = []
+            for k, d in enumerate(s.dims):
+                repl = {f: _pad_stacked_plan(getattr(d, f),
+                                             targets[(k, f)])
+                        for f in fields if getattr(d, f) is not None}
+                dims.append(d.replace(**repl) if repl else d)
+            out.append(s.replace(dims=tuple(dims)))
+        shards = out
     return jax.tree.map(lambda *xs: np.stack(xs, 0), *shards)
 
 
