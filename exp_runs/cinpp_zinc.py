@@ -32,7 +32,11 @@ def run_one(model: str, seed: int, epochs: int, include_down: bool):
         "--use_edge_features", "--early_stop",
         "--lr_scheduler", "ReduceLROnPlateau", "--lr_scheduler_patience", "20",
         "--train_eval_period", "20", "--preproc_jobs", "4",
-        "--device", "-1", "--exp_name", f"cinpp-zinc-synth-{model}", "--seed", str(seed)]
+        # XLA path: the shuffled heterogeneous batches would re-ship fresh
+        # Pallas tile plans over the chip tunnel every step, which costs
+        # more than the kernels save at this batch scale.
+        "--use_pallas", "false",
+        "--exp_name", f"cinpp-zinc-synth-{model}", "--seed", str(seed)]
     if include_down:
         argv.append("--include_down_adj")
     args = p.parse_args(argv)

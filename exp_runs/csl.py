@@ -47,6 +47,7 @@ def run(seeds, folds=(0, 1, 2, 3, 4), epochs=300):
                 "--use_edge_features", "--use_coboundaries", "True",
                 "--task_type", "classification",
                 "--eval_metric", "accuracy", "--preproc_jobs", "4",
+                "--use_pallas", "false",   # avoid per-batch plan shipping
                 "--fold", str(fold), "--exp_name", "cwn-csl",
                 "--seed", str(seed)])
             validate_args(args)

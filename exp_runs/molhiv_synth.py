@@ -40,6 +40,7 @@ def run(seeds, epochs=40):
             "--max_ring_size", "6", "--init_method", "sum",
             "--train_eval_period", "10", "--use_edge_features",
             "--preproc_jobs", "4",
+            "--use_pallas", "false",   # avoid per-batch plan shipping
             "--exp_name", "molhiv-synth", "--seed", str(seed)])
         validate_args(args)
         curves = main(args)
