@@ -52,8 +52,11 @@ def run(epochs: int, seeds):
     if os.path.exists(OUT):
         with open(OUT) as f:
             results = json.load(f).get("runs", {})
-    for model, down in [("embed_cin++", True), ("embed_sparse_cin", False)]:
-        for seed in seeds:
+    # Seed-major order: a round-time cut leaves BALANCED per-model seed
+    # counts instead of 10 of one model and none of the other.
+    for seed in seeds:
+        for model, down in [("embed_cin++", True),
+                            ("embed_sparse_cin", False)]:
             k = f"{model}/s{seed}"
             if k in results:
                 print(f"{k}: cached")
