@@ -22,6 +22,61 @@ def _pow2_round(n: int, minimum: int) -> int:
     return 1 << int(np.ceil(np.log2(n)))
 
 
+def fused_device_put(batch):
+    """Upload a host batch as ONE byte buffer + device-side unpack.
+
+    A packed batch is ~50 small arrays; over a tunneled chip each leaf's
+    device_put pays a round trip, which costs more than the bytes
+    (measured ~2-3 s/epoch on ZINC-sized batches).  Concatenate every
+    numpy leaf's bytes host-side, ship once, and slice/bitcast on device
+    (jitted per shape signature).  Leaves already on device pass through.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(batch)
+    np_leaves = []
+    for l in leaves:
+        if not isinstance(l, np.ndarray):
+            return jax.device_put(batch)       # mixed host/device: plain put
+        # Coerce like device_put does with x64 disabled.
+        if l.dtype == np.int64:
+            l = l.astype(np.int32)
+        elif l.dtype == np.float64:
+            l = l.astype(np.float32)
+        np_leaves.append(np.ascontiguousarray(l))
+    sig = tuple((l.shape, l.dtype.str) for l in np_leaves)
+
+    buf = np.concatenate([l.view(np.uint8).reshape(-1) for l in np_leaves]) \
+        if np_leaves else np.zeros(0, np.uint8)
+
+    cache = fused_device_put._cache
+    unpack = cache.get(sig)
+    if unpack is None:
+        @jax.jit
+        def unpack(b, _sig=sig):
+            out = []
+            off = 0
+            for shape, dtype in _sig:
+                dt = np.dtype(dtype)
+                nb = int(np.prod(shape, dtype=np.int64)) * dt.itemsize
+                chunk = jax.lax.dynamic_slice(b, (off,), (nb,))
+                if dt.itemsize > 1:
+                    chunk = jax.lax.bitcast_convert_type(
+                        chunk.reshape(-1, dt.itemsize), dt)
+                else:
+                    chunk = chunk.astype(dt)
+                out.append(chunk.reshape(shape))
+                off += nb
+            return out
+
+        cache[sig] = unpack
+    return jax.tree_util.tree_unflatten(treedef, unpack(buf))
+
+
+fused_device_put._cache = {}
+
+
 def bucketize_plan(plan: PadPlan, pad_multiple: int = 128) -> PadPlan:
     """Round every pad size up to a power of two (>= pad_multiple)."""
     return PadPlan(
@@ -113,7 +168,7 @@ class ComplexLoader:
         collect = [] if self.cache_batches else None
         pending = None
         for batch in it:
-            staged = jax.device_put(batch)
+            staged = fused_device_put(batch)
             if collect is not None:
                 collect.append(staged)
             if pending is not None:
