@@ -119,6 +119,27 @@ def test_loader_device_bank_matches_host_path():
         assert np.allclose(np.asarray(db.y_mask), np.asarray(hb.y_mask))
 
 
+def test_fused_device_put_equality():
+    """fused_device_put (one byte-buffer upload + device unpack) must be
+    leaf-for-leaf identical to plain jax.device_put, including the
+    int64/f64 -> 32-bit coercions."""
+    from cwn_tpu.lift import ring_2complex
+    from cwn_tpu.train.loader import fused_device_put
+    from tests.fixtures import all_test_graphs
+
+    complexes = [ring_2complex(g.x, g.edge_index, None, g.num_nodes,
+                               y=g.y, max_k=7)
+                 for g in all_test_graphs()]
+    batch = pack_complexes(complexes, max_dim=2, pad_multiple=32)
+    a = jax.device_put(batch)
+    b = fused_device_put(batch)
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for x, z in zip(la, lb):
+        assert x.shape == z.shape and x.dtype == z.dtype
+        assert np.array_equal(np.asarray(x), np.asarray(z))
+
+
 def test_loader_attaches_uniform_plans():
     from cwn_tpu.train.loader import ComplexLoader
 
