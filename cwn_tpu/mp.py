@@ -76,7 +76,13 @@ def _uniform_channel(x_source, plan, plan_t, n_src_struct: int,
     f = x_source.shape[-1]
     xb = x_source[:count * n_src_struct].reshape(count, n_src_struct, f)
     xb = jnp.swapaxes(xb, 0, 1).reshape(n_src_struct, count * f)
-    out = segment_spmm_ad(xb, plan, plan_t)[:n_dst_struct]
+    # Mosaic requires the lane (last) dim of kernel loads to tile the
+    # 128-lane registers once it exceeds 128; pad the flattened width.
+    w = count * f
+    w_pad = ((w + 127) // 128) * 128 if w > 128 else w
+    if w_pad != w:
+        xb = jnp.pad(xb, ((0, 0), (0, w_pad - w)))
+    out = segment_spmm_ad(xb, plan, plan_t)[:n_dst_struct, :w]
     out = out.reshape(n_dst_struct, count, f)
     out = jnp.swapaxes(out, 0, 1).reshape(count * n_dst_struct, f)
     return jnp.pad(out, ((0, n - count * n_dst_struct), (0, 0)))
