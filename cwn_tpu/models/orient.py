@@ -34,10 +34,17 @@ class OrientedConv(nn.Module):
         act = get_nonlinearity(self.act)
         n = x.shape[0]
 
-        # NOTE: tile plans fold orientation weights in, so the Pallas path is
-        # only taken when orientation usage matches the plan (orient=True or
-        # no orientations recorded).
-        plans_ok = self.orient or buf.up_orient is None
+        # Tile plans fold orientation weights in.  orient=True matches the
+        # plans directly; the fully-invariant models (orient=False with
+        # orientations recorded) use the SAME plans with |weights| — the
+        # orientations are +-1, so abs(mask) recovers the unsigned
+        # adjacency at a trivial per-step cost.
+        signed_ok = self.orient or buf.up_orient is None
+
+        def fix(p):
+            if p is None or signed_ok:
+                return p
+            return p.replace(mask=jnp.abs(p.mask))
 
         from cwn_tpu.mp import (_identity_channel, _plan_usable,
                                 _uniform_channel, _uniform_usable,
@@ -45,15 +52,15 @@ class OrientedConv(nn.Module):
 
         up_out = jnp.zeros((n, x.shape[-1]), x.dtype)
         if self.use_up and buf.up_src.shape[0] > 0:
-            if plans_ok and _uniform_usable(buf.uni_up_plan, buf, x):
+            if _uniform_usable(buf.uni_up_plan, buf, x):
                 up_out = _uniform_channel(
-                    x, buf.uni_up_plan, buf.uni_up_plan_t,
+                    x, fix(buf.uni_up_plan), fix(buf.uni_up_plan_t),
                     buf.uni_cells, buf.uni_cells, buf.uni_count, n)
-            elif plans_ok and _plan_usable(buf.up_plan, x):
+            elif _plan_usable(buf.up_plan, x):
                 src = x if buf.ep_axis is None else \
                     halo_gather_src(buf, x, buf.up_send)
-                up_out = _identity_channel(src, buf.up_plan,
-                                           buf.up_plan_t, n)
+                up_out = _identity_channel(src, fix(buf.up_plan),
+                                           fix(buf.up_plan_t), n)
             else:
                 m = jnp.take(x, buf.up_src, axis=0, mode="clip")
                 if self.orient and buf.up_orient is not None:
@@ -63,15 +70,15 @@ class OrientedConv(nn.Module):
 
         down_out = jnp.zeros((n, x.shape[-1]), x.dtype)
         if buf.down_src.shape[0] > 0:
-            if plans_ok and _uniform_usable(buf.uni_down_plan, buf, x):
+            if _uniform_usable(buf.uni_down_plan, buf, x):
                 down_out = _uniform_channel(
-                    x, buf.uni_down_plan, buf.uni_down_plan_t,
+                    x, fix(buf.uni_down_plan), fix(buf.uni_down_plan_t),
                     buf.uni_cells, buf.uni_cells, buf.uni_count, n)
-            elif plans_ok and _plan_usable(buf.down_plan, x):
+            elif _plan_usable(buf.down_plan, x):
                 src = x if buf.ep_axis is None else \
                     halo_gather_src(buf, x, buf.down_send)
-                down_out = _identity_channel(src, buf.down_plan,
-                                             buf.down_plan_t, n)
+                down_out = _identity_channel(src, fix(buf.down_plan),
+                                             fix(buf.down_plan_t), n)
             else:
                 m = jnp.take(x, buf.down_src, axis=0, mode="clip")
                 if self.orient and buf.down_orient is not None:

@@ -119,6 +119,33 @@ def test_loader_device_bank_matches_host_path():
         assert np.allclose(np.asarray(db.y_mask), np.asarray(hb.y_mask))
 
 
+def test_edge_mpnn_invariant_uniform_matches_fallback():
+    """Fully-invariant models (orient=False) now also take the kernel
+    path: the signed plan weights are |.|'d at runtime (orientations are
+    +-1), so EdgeMPNN on a uniform batch must match the plan-free
+    fallback."""
+    from cwn_tpu.models.orient import EdgeMPNN
+
+    batch, _ = _uniform_batch()
+    model = EdgeMPNN(num_input_features=1, num_classes=2, num_layers=2,
+                     hidden=8)
+    pallas_segment.set_interpret(True)
+    try:
+        variables = model.init({"params": jax.random.PRNGKey(2)}, batch,
+                               train=False)
+        out_k = model.apply(variables, batch, train=False)
+    finally:
+        pallas_segment.set_interpret(False)
+
+    dims = tuple(d.replace(uni_up_plan=None, uni_up_plan_t=None,
+                           uni_down_plan=None, uni_down_plan_t=None,
+                           uni_b_plan=None, uni_b_plan_t=None,
+                           uni_cells=None, uni_count=None,
+                           uni_b_src_cells=None) for d in batch.dims)
+    out_f = model.apply(variables, batch.replace(dims=dims), train=False)
+    assert np.allclose(np.asarray(out_k), np.asarray(out_f), atol=1e-5)
+
+
 def test_fused_device_put_equality():
     """fused_device_put (one byte-buffer upload + device unpack) must be
     leaf-for-leaf identical to plain jax.device_put, including the
