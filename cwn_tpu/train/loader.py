@@ -144,6 +144,14 @@ class ComplexLoader:
         self._uniform: Optional[bool] = None
         self._templates: dict = {}
         self._bank: Optional[dict] = None
+        # Epoch-scan state (next_epoch_stack): the shared epoch PadPlan,
+        # a one-deep background-packing future (packs epoch N+1 while the
+        # device runs epoch N), and a poison flag after a failed attempt.
+        self._epoch_plan: Optional[PadPlan] = None
+        self._epoch_scan_broken = False
+        self._prefetch = None
+        self._executor = None
+        self._cbank = None          # (host, device) bank, or False = can't
 
     def __len__(self) -> int:
         n = len(self.complexes)
@@ -208,9 +216,10 @@ class ComplexLoader:
         if collect is not None:
             self._cached_batches = collect
 
-    def _pack_one(self, batch_complexes,
-                  skip_edge_plans: bool = False) -> ComplexBatch:
-        plan = self.fixed_plan
+    def _pack_one(self, batch_complexes, skip_edge_plans: bool = False,
+                  plan: Optional[PadPlan] = None) -> ComplexBatch:
+        if plan is None:
+            plan = self.fixed_plan
         if plan is None:
             plan = PadPlan.for_complexes(
                 batch_complexes, self.max_dim,
@@ -278,37 +287,8 @@ class ComplexLoader:
         import jax.numpy as jnp
 
         idx = jnp.asarray(np.asarray(chunk, np.int32))
-        count = len(chunk)
-        dims = []
-        for k, d in enumerate(tpl.dims):
-            entry = self._bank["dims"].get(k)
-            if entry is None:
-                dims.append(d)
-                continue
-            repl = {}
-            if "x" in entry and d.x is not None:
-                xs = entry["x"][idx]                       # [count, n, F]
-                flat = xs.reshape(-1, xs.shape[-1])
-                repl["x"] = jnp.pad(
-                    flat, ((0, d.x.shape[0] - flat.shape[0]), (0, 0)))
-            if "y" in entry and d.y is not None:
-                ys = entry["y"][idx].reshape(-1)
-                repl["y"] = jnp.pad(
-                    ys, (0, d.y.shape[0] - ys.shape[0])).astype(d.y.dtype)
-            if "sel" in entry and d.sel_mask is not None:
-                ss = entry["sel"][idx].reshape(-1)
-                repl["sel_mask"] = jnp.pad(
-                    ss, (0, d.sel_mask.shape[0] - ss.shape[0]))
-            dims.append(d.replace(**repl) if repl else d)
-        y = tpl.y
-        if y is not None and "y" in self._bank:
-            vals = self._bank["y"][idx]
-            if vals.shape[1] == 1:
-                vals = vals[:, 0]
-            pad = [(0, tpl.y.shape[0] - count)] + \
-                [(0, 0)] * (vals.ndim - 1)
-            y = jnp.pad(vals, pad).astype(tpl.y.dtype)
-        return tpl.replace(dims=tuple(dims), y=y)
+        return gather_uniform_batch(tpl, self._bank["dims"],
+                                    self._bank.get("y"), idx)
 
     def _pack_uniform(self, batch_complexes, chunk=None) -> ComplexBatch:
         count = len(batch_complexes)
@@ -374,6 +354,210 @@ class ComplexLoader:
             y[:count] = vals.astype(np.dtype(tpl.y.dtype))
         return tpl.replace(dims=tuple(dims), y=y)
 
+    # ---- epoch-scan fast path ------------------------------------------
+    #
+    # A training epoch as ONE device dispatch: every full batch of the
+    # epoch is packed with a SHARED PadPlan (identical shapes), stacked on
+    # a leading axis, shipped in one fused transfer, and the Trainer runs
+    # a jitted lax.scan of train steps over it.  This kills the dominant
+    # cost of small-step training through a tunneled chip — the per-step
+    # host<->device round trip (measured 42 ms of a 46 ms ZINC step was
+    # the scalar-loss fetch alone; tools/profile_dispatch.py).
+    #
+    # Uniform-structure datasets skip packing entirely: the epoch spec is
+    # just the shuffled index matrix, and batches are gathered from the
+    # device-resident bank INSIDE the scan body (gather_uniform_batch).
+
+    def next_epoch_stack(self):
+        """Return one epoch's scan spec, or None when unsupported.
+
+        Spec kinds:
+          {"kind": "uniform", "tpl", "bank_dims", "bank_y", "idx",
+           "tail": ComplexBatch|None, "n", "skipped", "total"}
+          {"kind": "stacked", "batches": <host pytree, leading axis n>,
+           "n", "skipped", "total"}
+        """
+        if (self.n_shards > 1 or not self.shuffle
+                or self._epoch_scan_broken or len(self.complexes) == 0
+                or len(self.complexes) <= self.batch_size):
+            return None
+        try:
+            if self._prefetch is not None:
+                spec = self._prefetch.result()
+                self._prefetch = None
+            else:
+                spec = self._build_epoch_spec()
+            # Pack the NEXT epoch in the background: the main thread spends
+            # the inter-epoch time blocked on device work (scan + eval),
+            # during which the GIL is free.
+            if spec is not None and spec["kind"] == "stacked":
+                if self._executor is None:
+                    import concurrent.futures
+                    self._executor = concurrent.futures.ThreadPoolExecutor(1)
+                self._prefetch = self._executor.submit(self._build_epoch_spec)
+            return spec
+        except Exception as e:          # fall back to the per-batch path
+            import warnings
+            warnings.warn(f"epoch-scan disabled: {type(e).__name__}: {e}")
+            self._epoch_scan_broken = True
+            return None
+
+    def _build_epoch_spec(self):
+        if self._is_uniform():
+            return self._next_epoch_uniform()
+        spec = self._next_epoch_banked()
+        if spec is not None:
+            return spec
+        return self._next_epoch_stacked()
+
+    def _ensure_cbank(self):
+        """Host+device per-complex bank for on-device batch assembly
+        (cwn_tpu.train.device_pack); None when the dataset can't be banked
+        or the Pallas path is on (its host-built tile plans can't be
+        assembled device-side)."""
+        if self._cbank is False:
+            return None
+        if self._cbank is not None:
+            return self._cbank
+        if self.use_pallas or not self.device_prefetch:
+            self._cbank = False
+            return None
+        try:
+            from cwn_tpu.train.device_pack import build_bank
+            hb = build_bank(self.complexes, self.max_dim,
+                            x_dtype=self.x_dtype,
+                            keep_top_upper=self.keep_top_upper)
+            db = fused_device_put(hb)
+        except (ValueError, TypeError) as e:
+            import warnings
+            warnings.warn(f"complex bank unavailable: {e}")
+            self._cbank = False
+            return None
+        self._cbank = (hb, db)
+        return self._cbank
+
+    def _next_epoch_banked(self):
+        bank = self._ensure_cbank()
+        if bank is None:
+            return None
+        hb, db = bank
+        idx = self._epoch_perm()
+        b = self.batch_size
+        chunks = [idx[s:s + b] for s in range(0, len(idx), b)]
+        if self.drop_last and len(chunks[-1]) < b:
+            chunks = chunks[:-1]
+        total = len(chunks)
+        # Per-chunk stream sizes from the host lens tables.
+        cell = np.stack([d.cell_len for d in hb.dims])       # [D, C]
+        up = np.stack([d.up_len for d in hb.dims])
+        down = np.stack([d.down_len for d in hb.dims])
+        bnd = np.stack([d.b_len for d in hb.dims])
+        rows, counts, skipped = [], [], 0
+        need_c = need_u = need_d = need_b = None
+        for c in chunks:
+            cells_k = cell[:, c].sum(axis=1)
+            present = cells_k[cells_k > 0]
+            if not (len(present) and present.min() > 1):     # BN safety
+                skipped += 1
+                continue
+            sizes = (cells_k, up[:, c].sum(axis=1), down[:, c].sum(axis=1),
+                     bnd[:, c].sum(axis=1))
+            acc = (need_c, need_u, need_d, need_b)
+            need_c, need_u, need_d, need_b = [
+                s if a is None else np.maximum(a, s)
+                for a, s in zip(acc, sizes)]
+            row = np.zeros(b, np.int32)
+            row[:len(c)] = c
+            rows.append(row)
+            counts.append(len(c))
+        if not rows:
+            return {"kind": "banked", "n": 0, "skipped": skipped,
+                    "total": total}
+        need = bucketize_plan(PadPlan(
+            batch_size=b, num_cells=tuple(int(v) for v in need_c),
+            num_up=tuple(int(v) for v in need_u),
+            num_down=tuple(int(v) for v in need_d),
+            num_boundary=tuple(int(v) for v in need_b)), self.pad_multiple)
+        if self.fixed_plan is not None:
+            assert self.fixed_plan.covers(need), \
+                f"fixed plan too small for epoch: {need}"
+            plan = self.fixed_plan
+        else:
+            if self._epoch_plan is None or not self._epoch_plan.covers(need):
+                self._epoch_plan = need if self._epoch_plan is None else \
+                    bucketize_plan(PadPlan.union([self._epoch_plan, need]),
+                                   self.pad_multiple)
+            plan = self._epoch_plan
+        return {"kind": "banked", "bank": db,
+                "idx": np.stack(rows), "counts": np.asarray(counts, np.int32),
+                "plan": plan, "n": len(rows),
+                "skipped": skipped, "total": total}
+
+    def _epoch_perm(self) -> np.ndarray:
+        idx = np.arange(len(self.complexes))
+        self._rng.shuffle(idx)
+        self._epoch += 1
+        return idx
+
+    def _next_epoch_uniform(self):
+        idx = self._epoch_perm()
+        b = self.batch_size
+        n_full = len(idx) // b
+        tail = idx[n_full * b:]
+        if not self._ensure_bank():
+            raise ValueError("uniform bank unavailable")
+        tpl = self._templates.get(b)
+        if tpl is None:
+            tpl = self._pack_uniform([self.complexes[i]
+                                      for i in idx[:b]], None)
+            tpl = self._templates.get(b, tpl)
+        tail_batch = None
+        if len(tail) and not self.drop_last:
+            tail_batch = self._pack_uniform(
+                [self.complexes[i] for i in tail], tail)
+        bank = self._bank
+        return {"kind": "uniform", "tpl": tpl,
+                "bank_dims": bank["dims"], "bank_y": bank.get("y"),
+                "idx": idx[:n_full * b].astype(np.int32).reshape(n_full, b),
+                "tail": tail_batch, "n": n_full,
+                "skipped": 0, "total": n_full + (1 if tail_batch is not None
+                                                 else 0)}
+
+    def _next_epoch_stacked(self):
+        import jax
+
+        idx = self._epoch_perm()
+        chunks = [idx[s:s + self.batch_size]
+                  for s in range(0, len(idx), self.batch_size)]
+        if self.drop_last and len(chunks[-1]) < self.batch_size:
+            chunks = chunks[:-1]
+        groups = [[self.complexes[i] for i in c] for c in chunks]
+        # One shared plan for the whole epoch (and, across epochs, grown
+        # monotonically so the scan recompiles at most a few times ever).
+        plans = [PadPlan.for_complexes(g, self.max_dim,
+                                       batch_size=self.batch_size,
+                                       pad_multiple=self.pad_multiple)
+                 for g in groups]
+        need = bucketize_plan(PadPlan.union(plans), self.pad_multiple)
+        if self._epoch_plan is None or not self._epoch_plan.covers(need):
+            self._epoch_plan = need if self._epoch_plan is None else \
+                bucketize_plan(PadPlan.union([self._epoch_plan, need]),
+                               self.pad_multiple)
+        plan = self._epoch_plan
+        batches, skipped = [], 0
+        for g in groups:
+            batch = self._pack_one(g, plan=plan)
+            if _host_trainable(batch):
+                batches.append(batch)
+            else:
+                skipped += 1
+        if not batches:
+            return {"kind": "stacked", "batches": None, "n": 0,
+                    "skipped": skipped, "total": len(groups)}
+        stacked = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *batches)
+        return {"kind": "stacked", "batches": stacked, "n": len(batches),
+                "skipped": skipped, "total": len(groups)}
+
     def _pack_sharded(self, batch_complexes) -> ComplexBatch:
         """Pack one global batch as n_shards stacked per-device batches.
 
@@ -402,6 +586,54 @@ class ComplexLoader:
                                             window=self.kernel_tile,
                                             block=self.kernel_tile)
         return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *shards)
+
+
+def _host_trainable(batch: ComplexBatch) -> bool:
+    """BN-safety check on a host-packed batch (same semantics as
+    Trainer._batch_trainable, but on numpy so it never syncs the device)."""
+    counts = [float(np.asarray(d.cell_mask).sum()) for d in batch.dims]
+    present = [c for c in counts if c > 0]
+    return bool(present) and min(present) > 1
+
+
+def gather_uniform_batch(tpl, bank_dims, bank_y, idx):
+    """Form a ComplexBatch from a device-resident template + per-sample
+    stream bank by gathering the rows in `idx` (int32 [count]).  Pure jnp
+    — traceable, so it runs both eagerly (per-batch path) and inside the
+    epoch-scan train loop (cwn_tpu.train.trainer)."""
+    import jax.numpy as jnp
+
+    count = int(idx.shape[0])
+    dims = []
+    for k, d in enumerate(tpl.dims):
+        entry = bank_dims.get(k)
+        if entry is None:
+            dims.append(d)
+            continue
+        repl = {}
+        if "x" in entry and d.x is not None:
+            xs = entry["x"][idx]                       # [count, n, F]
+            flat = xs.reshape(-1, xs.shape[-1])
+            repl["x"] = jnp.pad(
+                flat, ((0, d.x.shape[0] - flat.shape[0]), (0, 0)))
+        if "y" in entry and d.y is not None:
+            ys = entry["y"][idx].reshape(-1)
+            repl["y"] = jnp.pad(
+                ys, (0, d.y.shape[0] - ys.shape[0])).astype(d.y.dtype)
+        if "sel" in entry and d.sel_mask is not None:
+            ss = entry["sel"][idx].reshape(-1)
+            repl["sel_mask"] = jnp.pad(
+                ss, (0, d.sel_mask.shape[0] - ss.shape[0]))
+        dims.append(d.replace(**repl) if repl else d)
+    y = tpl.y
+    if y is not None and bank_y is not None:
+        vals = bank_y[idx]
+        if vals.shape[1] == 1:
+            vals = vals[:, 0]
+        pad = [(0, tpl.y.shape[0] - count)] + \
+            [(0, 0)] * (vals.ndim - 1)
+        y = jnp.pad(vals, pad).astype(tpl.y.dtype)
+    return tpl.replace(dims=tuple(dims), y=y)
 
 
 def _structures_identical(complexes: Sequence[Complex], max_dim: int) -> bool:

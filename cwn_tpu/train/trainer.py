@@ -145,6 +145,26 @@ def make_scheduler(name: Optional[str], lr: float, *, decay_steps=50,
     raise NotImplementedError(f"Scheduler {name} is not currently supported")
 
 
+def _fetch_all(arrs: List) -> List:
+    """Fetch a mixed list of device/host arrays with one device->host
+    transfer per distinct (shape, dtype) group: device entries are
+    jnp.stack'ed per group and pulled in a single np.asarray (each
+    separate small fetch costs a full ~60 ms round trip over the
+    tunneled chip)."""
+    groups: Dict = {}
+    for i, a in enumerate(arrs):
+        if a is None or isinstance(a, np.ndarray):
+            continue
+        sig = (tuple(a.shape), str(a.dtype))
+        groups.setdefault(sig, []).append(i)
+    out = list(arrs)
+    for idcs in groups.values():
+        stacked = np.asarray(jnp.stack([arrs[i] for i in idcs]))
+        for j, i in enumerate(idcs):
+            out[i] = stacked[j]
+    return [None if a is None else np.asarray(a) for a in out]
+
+
 # ---------------------------------------------------------------------------
 # Trainer.
 # ---------------------------------------------------------------------------
@@ -202,11 +222,15 @@ class Trainer:
         self.evaluator = Evaluator(config.eval_metric, eps=config.iso_eps)
         self.loss_fn = LOSSES[config.task_type] \
             if config.task_type != "isomorphism" else None
+        self._epoch_scans = None
+        self._banked_jits = {}
         self._build_steps()
 
     # -- jitted functions -------------------------------------------------
     def _build_steps(self):
         model, loss_fn = self.model, self.loss_fn
+        self._epoch_scans = None
+        self._banked_jits = {}
 
         if self.n_devices > 1 and loss_fn is not None:
             from cwn_tpu.parallel import make_dp_train_step, make_mesh
@@ -226,13 +250,12 @@ class Trainer:
 
         self._eval_step = eval_step
 
-    def _single_device_step(self):
-        model, loss_fn = self.model, self.loss_fn
+    def _step_core(self):
+        """The un-jitted single train step (params, bs, opt, batch, rng, lr)
+        -> (params, bs, opt, loss); shared by the per-batch jit and the
+        epoch-scan jit."""
+        model, loss_fn, tx = self.model, self.loss_fn, self.tx
 
-        # Donate the carried state: XLA then aliases params/opt-state
-        # buffers across steps instead of copying them (the copy costs
-        # ~3x the compute on small models).
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def train_step(params, batch_stats, opt_state, batch, rng, lr):
             def loss_of(p):
                 out, mut = model.apply(
@@ -245,10 +268,67 @@ class Trainer:
             (loss, new_bs), grads = jax.value_and_grad(
                 loss_of, has_aux=True)(params)
             opt_state.hyperparams["learning_rate"] = lr
-            updates, new_opt = self.tx.update(grads, opt_state, params)
+            updates, new_opt = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), new_bs, new_opt, loss
 
         return train_step
+
+    def _single_device_step(self):
+        # Donate the carried state: XLA then aliases params/opt-state
+        # buffers across steps instead of copying them (the copy costs
+        # ~3x the compute on small models).
+        return functools.partial(jax.jit, donate_argnums=(0, 1, 2))(
+            self._step_core())
+
+    def _build_epoch_steps(self):
+        """Jitted per-step runners for the epoch fast paths: the batch is
+        sliced / gathered / assembled INSIDE the jit from device-resident
+        epoch data, steps are dispatched back-to-back WITHOUT per-step
+        host syncs, and the epoch's losses are fetched in one transfer.
+
+        Why not lax.scan over the epoch: on this runtime the identical
+        step program runs ~3x slower inside a while loop (measured
+        18.8 vs 6.5 ms/step on the ZINC step, scan unroll makes no
+        difference), while sequential async dispatch pipelines at full
+        single-step speed.  The per-step scalar-loss fetch it replaces
+        cost a ~40-60 ms round trip per step over the tunneled chip
+        (tools/profile_dispatch.py); the reference comparator feeds its
+        GPU without such stalls (/root/reference/data/data_loading.py:
+        44-110)."""
+        step = self._step_core()
+        from cwn_tpu.train.loader import gather_uniform_batch
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def stacked_step(params, batch_stats, opt_state, batches, i,
+                         rng, lr):
+            batch = jax.tree.map(lambda a: a[i], batches)
+            return step(params, batch_stats, opt_state, batch,
+                        jax.random.fold_in(rng, i), lr)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def uniform_step(params, batch_stats, opt_state, tpl, bank_dims,
+                         bank_y, idx_mat, i, rng, lr):
+            batch = gather_uniform_batch(tpl, bank_dims, bank_y, idx_mat[i])
+            return step(params, batch_stats, opt_state, batch,
+                        jax.random.fold_in(rng, i), lr)
+
+        return stacked_step, uniform_step
+
+    def _build_banked_step(self, plan):
+        """Per-step jit assembling its batch on device from the staged
+        per-complex bank (cwn_tpu.train.device_pack): per-epoch
+        host->device traffic is one small index matrix."""
+        step = self._step_core()
+        from cwn_tpu.train.device_pack import assemble_batch
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def banked_step(params, batch_stats, opt_state, bank, idx_mat,
+                        counts, i, rng, lr):
+            batch = assemble_batch(bank, plan, idx_mat[i], counts[i])
+            return step(params, batch_stats, opt_state, batch,
+                        jax.random.fold_in(rng, i), lr)
+
+        return banked_step
 
     # -- epochs -----------------------------------------------------------
     @staticmethod
@@ -263,9 +343,18 @@ class Trainer:
         present = [c for c in counts if c > 0]
         return bool(present) and min(present) > 1
 
-    def train_batch(self, batch) -> float:
-        """One optimizer step on one (possibly shard-stacked) batch."""
+    def train_batch(self, batch, sync: bool = True) -> float:
+        """One optimizer step on one (possibly shard-stacked) batch.
+
+        sync=False skips the scalar-loss device fetch (a full round trip
+        on a tunneled chip) and returns the on-device loss."""
         self.rng, step_rng = jax.random.split(self.rng)
+        if not sync:
+            self.params, self.batch_stats, self.opt_state, loss = \
+                self._train_step(self.params, self.batch_stats,
+                                 self.opt_state, batch, step_rng,
+                                 jnp.asarray(self.scheduler.lr, jnp.float32))
+            return loss
         with self.step_timer:
             self.params, self.batch_stats, self.opt_state, loss = \
                 self._train_step(self.params, self.batch_stats, self.opt_state,
@@ -275,6 +364,13 @@ class Trainer:
         return loss
 
     def train_epoch(self, loader) -> List[float]:
+        spec = None
+        if self.n_devices == 1 and self.loss_fn is not None:
+            next_stack = getattr(loader, "next_epoch_stack", None)
+            if next_stack is not None:
+                spec = next_stack()
+        if spec is not None:
+            return self._train_epoch_scanned(spec)
         curve = []
         skips = total = 0
         for batch in loader:
@@ -289,17 +385,89 @@ class Trainer:
             print(f"Warning! {skips}/{total} batches were skipped this epoch")
         return curve
 
+    def _train_epoch_scanned(self, spec) -> List[float]:
+        """Run one epoch from a loader epoch spec: back-to-back async step
+        dispatches (batch formed inside each jit), one loss fetch."""
+        from cwn_tpu.train.loader import fused_device_put
+
+        if self._epoch_scans is None:
+            self._epoch_scans = self._build_epoch_steps()
+        stacked_step, uniform_step = self._epoch_scans
+        t0 = time.perf_counter()
+        lr = jnp.asarray(self.scheduler.lr, jnp.float32)
+        rng = self.rng
+        # Advance the host rng once per epoch (each step folds in its
+        # index device-side).
+        self.rng = jax.random.split(self.rng)[0]
+        losses = []
+        tail_loss = None
+        n = spec["n"]
+        if spec["kind"] == "uniform":
+            idx_mat = jnp.asarray(spec["idx"])
+            for i in range(n):
+                self.params, self.batch_stats, self.opt_state, loss = \
+                    uniform_step(self.params, self.batch_stats,
+                                 self.opt_state, spec["tpl"],
+                                 spec["bank_dims"], spec["bank_y"],
+                                 idx_mat, np.int32(i), rng, lr)
+                losses.append(loss)
+            if spec.get("tail") is not None:
+                tail_loss = self.train_batch(spec["tail"], sync=False)
+        elif spec["kind"] == "banked" and n > 0:
+            fn = self._banked_jits.get(spec["plan"])
+            if fn is None:
+                fn = self._build_banked_step(spec["plan"])
+                self._banked_jits[spec["plan"]] = fn
+            idx_mat = jnp.asarray(spec["idx"])
+            counts = jnp.asarray(spec["counts"])
+            for i in range(n):
+                self.params, self.batch_stats, self.opt_state, loss = \
+                    fn(self.params, self.batch_stats, self.opt_state,
+                       spec["bank"], idx_mat, counts, np.int32(i), rng, lr)
+                losses.append(loss)
+        elif spec["kind"] == "stacked" and n > 0:
+            batches = fused_device_put(spec["batches"])
+            for i in range(n):
+                self.params, self.batch_stats, self.opt_state, loss = \
+                    stacked_step(self.params, self.batch_stats,
+                                 self.opt_state, batches, np.int32(i),
+                                 rng, lr)
+                losses.append(loss)
+        curve = []
+        if losses:
+            curve = [float(v) for v in np.asarray(jnp.stack(losses))]
+        if tail_loss is not None:
+            curve.append(float(tail_loss))
+        if spec["n"]:
+            # One timer entry per epoch: the amortized per-step wall time
+            # (dispatches + compute + the single loss sync).
+            self.step_timer.times.append(
+                (time.perf_counter() - t0) / max(1, spec["n"]))
+        if spec["total"] and spec["skipped"] / spec["total"] >= 0.25:
+            print(f"Warning! {spec['skipped']}/{spec['total']} batches "
+                  f"were skipped this epoch")
+        return curve
+
     def predict(self, loader) -> np.ndarray:
-        preds = []
-        ys = []
+        # Dispatch every eval batch before fetching anything, then fetch
+        # with one device->host transfer per distinct shape (each small
+        # transfer pays a full round trip over a tunneled chip).
+        outs, masks, ys = [], [], []
         for batch in loader:
-            out = self._eval_step(self.params, self.batch_stats, batch)
-            n = int(batch.y_mask.sum())
-            preds.append(np.asarray(out)[:n])
-            if batch.y is not None:
-                ys.append(np.asarray(batch.y)[:n])
+            outs.append(self._eval_step(self.params, self.batch_stats, batch))
+            masks.append(batch.y_mask)
+            ys.append(batch.y)
+        outs = _fetch_all(outs)
+        masks = _fetch_all(masks)
+        ys = _fetch_all(ys)
+        preds, trues = [], []
+        for out, mask, y in zip(outs, masks, ys):
+            n = int(mask.sum())
+            preds.append(out[:n])
+            if y is not None:
+                trues.append(y[:n])
         y_pred = np.concatenate(preds, axis=0)
-        y_true = np.concatenate(ys, axis=0) if ys else None
+        y_true = np.concatenate(trues, axis=0) if trues else None
         return y_pred, y_true
 
     def evaluate(self, loader) -> Dict[str, float]:
