@@ -88,6 +88,9 @@ def load_dataset(name: str, fold: Optional[int] = None, seed: int = 0,
     if name_u == "OCEAN":
         from cwn_tpu.data.datasets.ocean import load_ocean_dataset_spec
         return load_ocean_dataset_spec(root=root, **kwargs)
+    if name_u == "OCEAN-SYNTH":
+        from cwn_tpu.data.datasets.ocean import load_ocean_synth_dataset_spec
+        return load_ocean_synth_dataset_spec(root=root, **kwargs)
     if name_u in ("PEPTIDES-F", "PEPTIDES-S"):
         from cwn_tpu.data.datasets.peptides import load_peptides_dataset
         return load_peptides_dataset(name_u, max_ring_size=max_ring_size or 8,

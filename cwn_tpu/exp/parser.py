@@ -145,7 +145,7 @@ def validate_args(args):
             assert args.task_type == "bin_classification"
             assert not args.minimize
         assert args.jump_mode is None
-    if name in ("FLOW", "OCEAN"):
+    if name in ("FLOW", "OCEAN", "OCEAN-SYNTH"):
         assert args.model in ("edge_orient", "edge_mpnn")
         assert args.nonlinearity in ("id", "tanh") or args.fully_orient_invar
         assert args.eval_metric == "accuracy"

@@ -210,7 +210,7 @@ def main(args) -> Dict:
             extra = dict(num_points=args.flow_points,
                          train_orient=args.train_orient,
                          test_orient=args.test_orient)
-        elif args.dataset.upper() == "OCEAN":
+        elif args.dataset.upper() in ("OCEAN", "OCEAN-SYNTH"):
             extra = dict(train_orient=args.train_orient,
                          test_orient=args.test_orient)
         dataset = load_dataset(

@@ -86,3 +86,25 @@ def test_flow_dataset_shapes():
     assert co.upper_orient is not None and co.lower_orient is not None
     assert set(np.unique(co.upper_orient)).issubset({-1.0, 1.0})
     assert set(np.unique(co.x)).issubset({-1.0, 0.0, 1.0})
+
+
+def test_ocean_synth_dataset():
+    """OCEAN-SYNTH: drifters around an island through the ocean pipeline
+    (sorted-set edge numbering, signed B1/B2, path->flow conversion)."""
+    from cwn_tpu.data.datasets.ocean import load_ocean_synth_dataset
+    from cwn_tpu.train.loader import _structures_identical
+
+    train, test = load_ocean_synth_dataset(num_points=300, num_samples=30,
+                                           test_orient="random", seed=3)
+    assert len(train) == 24 and len(test) == 6
+    co = train[0].cochains[1]
+    assert co.upper_orient is not None and co.lower_orient is not None
+    assert set(np.unique(co.x)).issubset({-1.0, 0.0, 1.0})
+    # A trajectory traverses a connected chain of edges.
+    assert (np.abs(co.x) > 0).sum() > 3
+    ys = [int(c.y[0]) for c in train + test]
+    assert 0 < sum(ys) < len(ys)
+    # Default-orientation split shares one structure (uniform fast path);
+    # random test orientations break it.
+    assert _structures_identical(train, 1)
+    assert not _structures_identical(test, 1)
