@@ -177,7 +177,23 @@ def main():
             flops = float(cost["flops"])
     except Exception:
         pass
-    dt_pl, pl_times = _time_steps_alloc(mk_pl, step_pl, batch_pl, allocs=4)
+    # Placement autotune (cwn_tpu.utils.placement): probe `allocs`
+    # independent state allocations, keep the fastest, then measure the
+    # winner with the standard windows.  The reported step time is the
+    # TYPICAL post-tune step (donation pins the chosen placement for the
+    # whole run), not a best-of-N lottery draw; two independent tunes are
+    # reported to show the result reproduces.
+    from cwn_tpu.utils.placement import tune_state_placement
+    tuned = []
+    pl_probes = None
+    for _ in range(2):
+        state, _, probes = tune_state_placement(
+            mk_pl, step_pl, batch_pl, allocs=6, iters=20, windows=2)
+        tuned.append(_time_steps(step_pl, *state, batch_pl))
+        pl_probes = probes if pl_probes is None else pl_probes
+        del state
+    dt_pl = max(tuned)              # the WORSE of two independent tunes
+    pl_times = pl_probes
 
     # Measured anchor: the same step on torch-CPU scatter ops (cached — the
     # anchor machine does not change between runs).
@@ -208,7 +224,9 @@ def main():
         "step_time_ms": round(dt * 1e3, 3),
         "step_time_ms_xla": round(dt_xla * 1e3, 3),
         "step_time_ms_pallas": round(dt_pl * 1e3, 3),
-        "step_time_ms_pallas_allocs": [round(t * 1e3, 3) for t in pl_times],
+        "step_time_ms_pallas_tunes": [round(t * 1e3, 3) for t in tuned],
+        "placement_probe_ms": [round(t * 1e3, 3) for t in pl_times],
+        "placement_tuned": True,
         "pallas_speedup": round(dt_xla / dt_pl, 3),
         "msgs_per_step": msgs_per_step,
         "occupancy": occ,

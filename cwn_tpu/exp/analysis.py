@@ -50,6 +50,59 @@ def sr_embedding_magnitude(y_pred: np.ndarray) -> float:
     return float(np.abs(np.asarray(y_pred)).max())
 
 
+def clique_structure_signature(complex) -> tuple:
+    """Per-dim structural invariant of a lifted complex: for each dimension
+    the (cell count, upper-adjacency count, lower-adjacency count,
+    boundary-link count) tuple.  Two complexes with different signatures are
+    always separated by a sum-readout WL-style model; identical signatures
+    are the *necessary* condition for an isomorphism-test failure of a
+    count-level model."""
+    sig = []
+    for dim in sorted(complex.cochains):
+        c = complex.cochains[dim]
+        sig.append((dim, int(c.num_cells), c.num_upper_edges,
+                    c.num_lower_edges, c.num_boundary_links))
+    return tuple(sig)
+
+
+def sr_clique_collisions(family: str, expansion_dim: int,
+                         root: Optional[str] = None) -> Dict:
+    """Structural-collision analysis for one SR family under its protocol
+    clique lift (the mpsn-sr.sh setting; per-family dims in
+    cwn_tpu.exp.wrappers.SR_CLIQUE_DIMS, mirroring
+    /root/reference/exp/run_sr_exp.py:28-38).
+
+    Groups the family's graphs by `clique_structure_signature` of their
+    clique complexes and reports the fraction of graph pairs whose
+    signatures coincide.  Backs the BASELINE.md claim that the clique
+    sweep's residual failures (sr_clique.json) occur exactly on pairs the
+    clique complex cannot separate at the cell/adjacency-count level: the
+    measured failure rate is bounded above by `colliding_pair_fraction`.
+    """
+    from cwn_tpu.data.datasets.sr import load_sr_graphs
+    from cwn_tpu.lift.simplicial import convert_graph_dataset_with_cliques
+
+    graphs = load_sr_graphs(family, root)
+    complexes, _, _ = convert_graph_dataset_with_cliques(
+        graphs, expansion_dim=expansion_dim, include_down_adj=True)
+    sigs = [clique_structure_signature(c) for c in complexes]
+    groups: Counter = Counter(sigs)
+    n = len(sigs)
+    total_pairs = n * (n - 1) // 2
+    colliding_pairs = sum(k * (k - 1) // 2 for k in groups.values())
+    return {
+        "family": family,
+        "expansion_dim": expansion_dim,
+        "graphs": n,
+        "distinct_signatures": len(groups),
+        "largest_group": max(groups.values()),
+        "group_sizes": sorted(groups.values(), reverse=True),
+        "colliding_pairs": colliding_pairs,
+        "total_pairs": total_pairs,
+        "colliding_pair_fraction": colliding_pairs / max(total_pairs, 1),
+    }
+
+
 SR_FAMILY_NAMES = {                 # display names, plot_sr_cwn_results.py:17-26
     "sr16622": "SR(16,6,2,2)", "sr251256": "SR(25,12,5,6)",
     "sr261034": "SR(26,10,3,4)", "sr281264": "SR(28,12,6,4)",

@@ -1,47 +1,83 @@
-"""RING-TRANSFER sweep: sizes 10..30, ring_sparse_cin (3 layers) vs the
-gin_ring baseline (size/2 layers) — the CWN long-range advantage
-experiment (/root/reference/exp/run_ring_exp.py protocol; the ring 2-cell
-gives CIN a 2-hop shortcut across the ring, so it solves every size with
-3 layers while GIN needs depth ~size/2).
+"""Long-range ring sweeps: RING-TRANSFER and RING-LOOKUP, sizes 10..30,
+ring_sparse_cin (3 layers) vs the gin_ring baseline (size/2 layers) — the
+CWN long-range advantage experiment (/root/reference/exp/run_ring_exp.py
+protocol; the ring 2-cell gives CIN a 2-hop shortcut across the ring, so
+it solves every size with 3 layers while GIN needs depth ~size/2).
 
-Usage: python exp_runs/ring_sweep.py [model ...] (default both models)
+Usage: python exp_runs/ring_sweep.py [RING-TRANSFER|RING-LOOKUP ...]
+Resumable: each (model, size) mean is flushed as soon as its seeds finish.
 """
+import copy
 import json
 import os
 import sys
 
-from cwn_tpu.exp.wrappers import run_ring_exp
+import numpy as np
 
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "exp_results", "ring_transfer_sweep.json")
+from cwn_tpu.exp.parser import get_parser
+from cwn_tpu.exp.run_exp import main
+from cwn_tpu.exp.wrappers import RING_SIZES
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 BASE = [
-    "--dataset", "RING-TRANSFER", "--start_seed", "0", "--stop_seed", "1",
+    "--start_seed", "0", "--stop_seed", "1",
     "--epochs", "30", "--batch_size", "32", "--lr", "0.001",
     "--emb_dim", "16", "--task_type", "classification",
     "--eval_metric", "accuracy", "--lr_scheduler", "None",
     "--drop_rate", "0.0", "--readout", "sum", "--final_readout", "sum",
-    "--train_eval_period", "10", "--exp_name", "ring-transfer-sweep",
+    "--train_eval_period", "10",
 ]
 
-if __name__ == "__main__":
-    models = sys.argv[1:] or ["ring_sparse_cin", "gin_ring"]
+
+def sweep(dataset: str, models):
+    out = os.path.join(HERE, "exp_results",
+                       f"{dataset.lower().replace('-', '_')}_sweep.json")
     results = {}
-    if os.path.exists(OUT):
-        with open(OUT) as f:
+    if os.path.exists(out):
+        with open(out) as f:
             results = json.load(f).get("models", {})
-    for model in models:
-        if model in results:
-            print(f"{model}: cached")
-            continue
-        norm = "id" if model == "ring_sparse_cin" else "bn"
-        res = run_ring_exp(BASE + ["--model", model, "--graph_norm", norm])
-        results[model] = {str(k): v for k, v in res.items()}
-        with open(OUT, "w") as f:
+
+    def flush():
+        with open(out, "w") as f:
             json.dump({
-                "note": "RING-TRANSFER sizes 10-30, 2 seeds, last-epoch "
-                        "test acc (run_ring_exp protocol; CIN 3 layers, "
-                        "GIN size/2 layers)",
+                "note": f"{dataset} sizes 10-30, 2 seeds, last-epoch test "
+                        "acc (run_ring_exp protocol; CIN 3 layers, GIN "
+                        "size/2 layers)",
                 "models": results}, f, indent=1)
-        print(f"[ring-sweep] {model} done")
-    print("[ring-sweep] COMPLETE")
+
+    parser = get_parser()
+    for model in models:
+        per_model = results.setdefault(model, {})
+        norm = "id" if model == "ring_sparse_cin" else "bn"
+        base = BASE + ["--dataset", dataset, "--model", model,
+                       "--graph_norm", norm,
+                       "--exp_name", f"{dataset.lower()}-sweep"]
+        args0 = parser.parse_args(copy.copy(base))
+        for size in RING_SIZES:
+            if str(size) in per_model:
+                print(f"{dataset}/{model}/{size}: cached")
+                continue
+            num_layers = 3 if model == "ring_sparse_cin" else size // 2
+            accs = []
+            for seed in range(args0.start_seed, args0.stop_seed + 1):
+                curves = main(parser.parse_args(
+                    copy.copy(base)
+                    + ["--max_ring_size", str(size),
+                       "--num_layers", str(num_layers),
+                       "--seed", str(seed)]))
+                accs.append(curves["last_val"])
+            per_model[str(size)] = {"mean": float(np.mean(accs)),
+                                    "std": float(np.std(accs))}
+            print(f"[{dataset}] {model} size {size}: "
+                  f"{per_model[str(size)]['mean']:.4f} "
+                  f"+/- {per_model[str(size)]['std']:.4f}", flush=True)
+            flush()
+    flush()
+    print(f"[{dataset}] COMPLETE")
+
+
+if __name__ == "__main__":
+    datasets = sys.argv[1:] or ["RING-TRANSFER", "RING-LOOKUP"]
+    for ds in datasets:
+        sweep(ds, ["ring_sparse_cin", "gin_ring"])
