@@ -64,6 +64,21 @@ class CochainBuffers:
     # Optional Pallas tile plans (cwn_tpu.ops.tiles.TilePlan) for the fused
     # one-hot SpMM kernels; populated by add_tile_plans().  *_t are the
     # transpose plans used by the custom VJP.
+    # Factorized upper channel (the ring O(r^2) -> O(r) trick): the upper
+    # adjacency of dim k is "all ordered pairs of distinct cells sharing a
+    # (k+1)-coboundary", so the per-pair message act(W1 x_src + W2 x_cob + b)
+    # depends only on (source, coboundary) — summing it over a coboundary's
+    # members ONCE and subtracting each destination's own term reproduces
+    # the pairwise sum exactly with O(memberships) work instead of
+    # O(pairs):  out[i] = sum_{c ni i} (S_c - t(i, c)),
+    #            S_c = sum_{j in c} t(j, c),  t(j, c) = act(xs_j + xu_c + b).
+    # The membership list IS dim k+1's boundary structure; these arrays are
+    # that list re-sorted by member cell (the coboundary-sorted order lives
+    # in dims[k+1].b_*).  An 18-ring contributes 18 memberships in place of
+    # 306 pairs — the dominant term of the molecular benchmarks' step.
+    fac_src: Optional[np.ndarray] = None   # [M] int32 member cell (dim k), ascending
+    fac_cob: Optional[np.ndarray] = None   # [M] int32 coboundary cell (dim k+1)
+    fac_mask: Optional[np.ndarray] = None  # [M] float32
     up_plan: Optional[object] = None
     up_plan_t: Optional[object] = None
     down_plan: Optional[object] = None
@@ -383,6 +398,18 @@ def pack_complexes(complexes: Sequence[Complex], max_dim: int,
             b_src=b_src, b_dst=b_dst, b_mask=b_mask,
             up_orient=up_orient, down_orient=down_orient, y=ycells,
             sel_mask=sel))
+
+    # Factorized-up membership arrays: dim k+1's boundary list re-sorted by
+    # member cell (see CochainBuffers.fac_* docstring).  Stable sort keeps
+    # the all-masked padding slots (src = trash) at the tail.
+    for k in range(max_dim):
+        nxt = dims[k + 1]
+        if nxt.b_src.shape[0] == 0:
+            continue
+        order = np.argsort(nxt.b_src, kind="stable")
+        dims[k] = dataclasses.replace(
+            dims[k], fac_src=nxt.b_src[order], fac_cob=nxt.b_dst[order],
+            fac_mask=nxt.b_mask[order])
 
     # Complex-level labels.
     y = None

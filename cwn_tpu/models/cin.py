@@ -21,6 +21,8 @@ from flax import linen as nn
 
 from cwn_tpu.batch import ComplexBatch
 from cwn_tpu.mp import (
+    factorized_up_channel,
+    factorized_up_usable,
     fused_channel_usable,
     fused_mlp_channel,
     gather_down_attr,
@@ -52,7 +54,8 @@ class SparseCINCochainConv(nn.Module):
     init_eps: float = 0.0
 
     @nn.compact
-    def __call__(self, buf, x, x_up, boundary_attr, train: bool = False):
+    def __call__(self, buf, x, x_up, boundary_attr, train: bool = False,
+                 cob_buf=None):
         act = get_nonlinearity(self.act)
         layer_dim = x.shape[-1]
 
@@ -66,7 +69,15 @@ class SparseCINCochainConv(nn.Module):
         if self.use_coboundaries:
             kernel, bias = LinearParams(layer_dim, 2 * layer_dim,
                                         name="msg_up")()
-            if (buf.up_src.shape[0] > 0 and fused_channel_usable(
+            if (buf.up_src.shape[0] > 0
+                    and factorized_up_usable(buf, cob_buf, x, x_up)):
+                # O(memberships) exact rewrite of the pairwise channel —
+                # the dominant ring tiles never materialise.
+                fused_up = factorized_up_channel(
+                    x, x_up, kernel, bias, buf, cob_buf, act, x.shape[0])
+                up_attr = None
+                message_up = None
+            elif (buf.up_src.shape[0] > 0 and fused_channel_usable(
                     buf.up_plan, buf.up_plan_bs, buf.up_plan_bc, x, x_up,
                     self.act)):
                 # Hot path: per-edge cat+Linear+act+segsum as one Pallas
@@ -145,7 +156,8 @@ class CINppCochainConv(nn.Module):
     ref_quirk_no_down_msg: bool = False
 
     @nn.compact
-    def __call__(self, buf, x, x_up, x_down, boundary_attr, train: bool = False):
+    def __call__(self, buf, x, x_up, x_down, boundary_attr,
+                 train: bool = False, cob_buf=None):
         act = get_nonlinearity(self.act)
         layer_dim = x.shape[-1]
 
@@ -164,7 +176,11 @@ class CINppCochainConv(nn.Module):
                                       name="msg_down")()
             up_attr = down_attr = None
             message_up = message_down = None
-            if (buf.up_src.shape[0] > 0 and fused_channel_usable(
+            if (buf.up_src.shape[0] > 0
+                    and factorized_up_usable(buf, cob_buf, x, x_up)):
+                fused_up = factorized_up_channel(
+                    x, x_up, k_up, b_up, buf, cob_buf, act, x.shape[0])
+            elif (buf.up_src.shape[0] > 0 and fused_channel_usable(
                     buf.up_plan, buf.up_plan_bs, buf.up_plan_bc, x, x_up,
                     self.act)):
                 fused_up = fused_mlp_channel(
@@ -266,6 +282,7 @@ class SparseCINLayer(nn.Module):
                 out.append(xs[k])
                 continue
             buf = data.dims[k]
+            cob_buf = data.dims[k + 1] if k + 1 < len(data.dims) else None
             x_up = xs[k + 1] if k + 1 < len(xs) else None
             x_down = xs[k - 1] if k > 0 else None
             b_attr = xs[k - 1] if (k > 0 and self.include_boundary_features) else None
@@ -276,13 +293,15 @@ class SparseCINLayer(nn.Module):
                     train_eps=self.train_eps,
                     ref_quirk_no_down_msg=self.ref_quirk_no_down_msg,
                     name=f"dim{k}")
-                out.append(conv(buf, xs[k], x_up, x_down, b_attr, train=train))
+                out.append(conv(buf, xs[k], x_up, x_down, b_attr, train=train,
+                                cob_buf=cob_buf))
             else:
                 conv = SparseCINCochainConv(
                     dim=k, hidden=self.hidden, act=self.act, norm=self.norm,
                     use_coboundaries=self.use_coboundaries,
                     train_eps=self.train_eps, name=f"dim{k}")
-                out.append(conv(buf, xs[k], x_up, b_attr, train=train))
+                out.append(conv(buf, xs[k], x_up, b_attr, train=train,
+                                cob_buf=cob_buf))
         return out
 
 

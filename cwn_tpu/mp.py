@@ -110,6 +110,61 @@ def fused_mlp_channel(x, x_shared, kernel, bias, plan, plan_bs, plan_bc,
     return fused_message_spmm(xs, xu, bias, plan, plan_bs, plan_bc, act)[:n]
 
 
+def factorized_up_usable(buf, cob_buf, x, x_shared,
+                         min_ratio: float = 4.0) -> bool:
+    """The O(memberships) upper channel beats the O(pairs) kernel when the
+    pair list is much longer than the membership list (i.e. coboundaries
+    have many members — rings).  Static shapes only, so the branch is
+    jit-stable per batch shape."""
+    return (buf.fac_src is not None and cob_buf is not None
+            and x_shared is not None and buf.ep_axis is None
+            and buf.up_orient is None
+            and x.dtype == jnp.float32 and x_shared.dtype == jnp.float32
+            and buf.up_src.shape[0] >= min_ratio * buf.fac_src.shape[0])
+
+
+def factorized_up_channel(x, x_shared, kernel, bias, buf, cob_buf, act_fn,
+                          n: int):
+    """Exact pairwise upper-channel sum in O(memberships) work.
+
+    out[i] = sum over pairs (j -> i sharing coboundary c) of
+             act(xs[j] + xu[c] + b)
+           = sum_{c ni i} (S_c - act(xs[i] + xu[c] + b)),
+             S_c = sum_{j in c} act(xs[j] + xu[c] + b)
+
+    because the message depends only on the SOURCE and the shared
+    coboundary, never the destination.  `cob_buf` (dim k+1) provides the
+    membership list sorted by coboundary (its boundary structure); buf's
+    fac_* arrays are the same list sorted by member.  Term-for-term equal
+    to the pairwise path (same addends, different association order).
+    Replaces the dominant O(r^2) ring tiles of the molecular step
+    (reference comparator keeps the pairwise form:
+    /root/reference/data/utils.py upper-adjacency construction +
+    /root/reference/mp/cell_mp.py scatter aggregation).
+    """
+    f = x.shape[-1]
+    xs = x @ kernel[:f]
+    xu = x_shared @ kernel[f:]
+    b_row = bias.reshape(1, -1)
+
+    def t(src_ids, cob_ids, mask):
+        pre = (jnp.take(xs, src_ids, axis=0, mode="clip")
+               + jnp.take(xu, cob_ids, axis=0, mode="clip") + b_row)
+        return act_fn(pre) * mask[:, None]
+
+    # Coboundary-sorted pass: per-coboundary member sums S_c.
+    s_c = segment_reduce("add")(
+        t(cob_buf.b_src, cob_buf.b_dst, cob_buf.b_mask), cob_buf.b_dst,
+        x_shared.shape[0], indices_are_sorted=True)
+    # Member-sorted pass: each member collects its coboundaries' S_c and
+    # subtracts its own contribution (the j = i pair is not an upper edge).
+    own = t(buf.fac_src, buf.fac_cob, buf.fac_mask)
+    tot = jnp.take(s_c, buf.fac_cob, axis=0, mode="clip") \
+        * buf.fac_mask[:, None]
+    return segment_reduce("add")(
+        tot - own, buf.fac_src, n, indices_are_sorted=True)
+
+
 # Below this feature width the one-hot MXU formulation wastes most of its
 # 128 lanes (a [N, 1] stream still costs full 128-lane rows in VMEM) and
 # the XLA gather+segsum fallback wins; the molecular configs (emb 48-160)

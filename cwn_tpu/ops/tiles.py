@@ -331,6 +331,66 @@ def build_tile_plan(src, dst, mask, num_src: int, num_dst: int,
     return plan
 
 
+def concat_window_plans(plans, src_offsets, dst_offsets,
+                        extra_offsets=None) -> Optional["TilePlan"]:
+    """Concatenate windowed-scatter plans into ONE plan over concatenated
+    source/destination row spaces — one kernel launch covers what took one
+    launch per plan.
+
+    Each plan k addresses rows [0, num_src_k) of its own source array and
+    [0, num_dst_k) of its own output; after concatenation it addresses
+    [src_offsets[k], +num_src_k) of the stacked source and
+    [dst_offsets[k], +num_dst_k) of the stacked output.  Window starts are
+    shifted by the offsets, relative streams are unchanged, so tile windows
+    never cross a section boundary.  Offsets must be 8-aligned (the padded
+    per-dim section sizes are, by construction in pack_complexes).
+
+    Returns None when the plans cannot be combined: mixed kernel modes,
+    mismatched geometry/passes, or a section smaller than the window span
+    (the per-plan clamp `win_start <= num_src - window` no longer holds
+    inside a shorter section).
+    """
+    plans = list(plans)
+    if not plans:
+        return None
+    p0 = plans[0]
+    has_extra = p0.extra_rel is not None
+    for p in plans:
+        if (p.dst_start is None or p.empty
+                or (p.extra_rel is not None) != has_extra
+                or (p.tile, p.window, p.block, p.supertile, p.passes)
+                != (p0.tile, p0.window, p0.block, p0.supertile, p0.passes)
+                or p.num_src < p.window or p.num_dst < p.block):
+            return None
+    if has_extra and extra_offsets is None:
+        return None
+    for off in (src_offsets, dst_offsets) + (
+            (extra_offsets,) if has_extra else ()):
+        if any(o % 8 for o in off):
+            return None
+
+    def cat(field, offs=None):
+        parts = []
+        for i, p in enumerate(plans):
+            a = getattr(p, field)
+            parts.append(a if offs is None else a + offs[i])
+        return np.concatenate(parts, axis=0)
+
+    return TilePlan(
+        src_rel=cat("src_rel"), dst_rel=cat("dst_rel"), mask=cat("mask"),
+        extra_rel=cat("extra_rel") if has_extra else None,
+        win_start=cat("win_start", src_offsets),
+        extra_start=cat("extra_start", extra_offsets) if has_extra else None,
+        out_block=cat("out_block"),
+        tile=p0.tile, window=p0.window, block=p0.block,
+        num_src=src_offsets[-1] + plans[-1].num_src,
+        num_extra=(extra_offsets[-1] + plans[-1].num_extra
+                   if has_extra else 0),
+        num_dst=dst_offsets[-1] + plans[-1].num_dst,
+        passes=p0.passes, empty=False,
+        dst_start=cat("dst_start", dst_offsets), supertile=p0.supertile)
+
+
 _TUNER_SAMPLE_EDGES = 50_000
 
 

@@ -60,6 +60,12 @@ class DimBank:
     b_len: np.ndarray
     b_off: np.ndarray
     b_cols: np.ndarray                 # [sum_e, 2] int32
+    # Factorized-up memberships: dim k+1's boundary list stably re-sorted
+    # by member (src) — columns (member cell in dim k, coboundary in dim
+    # k+1), local ids (see CochainBuffers.fac_*).
+    fac_len: Optional[np.ndarray] = None
+    fac_off: Optional[np.ndarray] = None
+    fac_cols: Optional[np.ndarray] = None   # [sum_e, 2] int32
     has_up_orient: bool = struct.field(pytree_node=False, default=False)
     has_down_orient: bool = struct.field(pytree_node=False, default=False)
 
@@ -129,6 +135,7 @@ def build_bank(complexes: Sequence[Complex], max_dim: int,
         ul, ublocks = [], []
         dl, dblocks = [], []
         bl, bblocks = [], []
+        fl, fblocks = [], []
         for c in complexes:
             co = c.cochains.get(k)
             n = int(co.num_cells or 0) if co is not None else 0
@@ -171,10 +178,23 @@ def build_bank(complexes: Sequence[Complex], max_dim: int,
                 blk = np.zeros((0, 2), np.int32)
             bl.append(len(blk)); bblocks.append(blk)
 
+            # Factorized-up memberships: dim k+1's (dst-sorted) boundary
+            # list re-sorted stably by member — matching pack_complexes'
+            # global stable src-sort restricted to this complex.
+            co_up = c.cochains.get(k + 1) if k < max_dim else None
+            if co_up is not None and co_up.boundary_index is not None:
+                blk = _sorted_cols(co_up.boundary_index[0],
+                                   co_up.boundary_index[1], None, None, 2)
+                blk = blk[np.argsort(blk[:, 0], kind="stable")]
+            else:
+                blk = np.zeros((0, 2), np.int32)
+            fl.append(len(blk)); fblocks.append(blk)
+
         cell_len, cell_off = _lens_offs(cl)
         up_len, up_off = _lens_offs(ul)
         down_len, down_off = _lens_offs(dl)
         b_len, b_off = _lens_offs(bl)
+        fac_len, fac_off = _lens_offs(fl)
 
         ycat = None
         if any_cell_y[k]:
@@ -192,6 +212,8 @@ def build_bank(complexes: Sequence[Complex], max_dim: int,
             down_cols=np.concatenate(dblocks, axis=0),
             b_len=b_len, b_off=b_off,
             b_cols=np.concatenate(bblocks, axis=0),
+            fac_len=fac_len, fac_off=fac_off,
+            fac_cols=np.concatenate(fblocks, axis=0),
             has_up_orient=any_up_orient[k],
             has_down_orient=any_down_orient[k]))
 
@@ -276,14 +298,14 @@ def assemble_batch(bank: ComplexBank, plan: PadPlan, idx, count):
         trash = plan.num_cells[k] - 1
 
         def edges(elen, eoff, ecols, cap, extra_starts, src_trash,
-                  dst_trash, want_orient, src_starts=None):
+                  dst_trash, want_orient, src_starts=None, dst_starts=None):
             import jax
 
             elens = jnp.where(slot_valid, elen[idx], 0)
             ecid, einner, evalid, _ = _place(elens, cap)
             erows = eoff[idx[ecid]] + einner
             cols = _gather_rows(ecols, erows, evalid)      # [cap, 2 or 4]
-            off_dst = starts[ecid]
+            off_dst = starts[ecid] if dst_starts is None else dst_starts[ecid]
             off_src = off_dst if src_starts is None else src_starts[ecid]
             src = cols[:, 0] + jnp.where(evalid, off_src, src_trash)
             dst = cols[:, 1] + jnp.where(evalid, off_dst, dst_trash)
@@ -316,6 +338,18 @@ def assemble_batch(bank: ComplexBank, plan: PadPlan, idx, count):
             src_starts=cell_starts[k - 1] if k > 0 else
             jnp.zeros_like(cell_starts[k]))
 
+        # Factorized-up memberships: src in dim k, coboundary in dim k+1
+        # (the packer's post-pass sort, reproduced by concatenating the
+        # per-complex member-sorted lists with ascending offsets).
+        fac_src = fac_cob = fac_mask = None
+        if k < max_dim and db.fac_cols is not None \
+                and plan.num_boundary[k + 1] > 0:
+            fac_src, fac_cob, _, _, fac_mask = edges(
+                db.fac_len, db.fac_off, db.fac_cols,
+                plan.num_boundary[k + 1], None, trash,
+                plan.num_cells[k + 1] - 1, False,
+                src_starts=cell_starts[k], dst_starts=cell_starts[k + 1])
+
         dims_out.append(CochainBuffers(
             x=x, cell_mask=cell_mask, batch=bvec,
             up_src=up_src, up_dst=up_dst, up_cob=up_cob, up_mask=up_mask,
@@ -323,7 +357,8 @@ def assemble_batch(bank: ComplexBank, plan: PadPlan, idx, count):
             down_shared=down_shared, down_mask=down_mask,
             b_src=b_src, b_dst=b_dst, b_mask=b_mask,
             up_orient=up_orient, down_orient=down_orient,
-            y=ycells, sel_mask=sel))
+            y=ycells, sel_mask=sel,
+            fac_src=fac_src, fac_cob=fac_cob, fac_mask=fac_mask))
 
     y = None
     if bank.y is not None:

@@ -56,46 +56,43 @@ def capture(steps: int, trace_dir: str):
 
 
 def analyze(trace_dir: str, steps: int, top: int = 40):
-    """Sum per-op device time from the xplane protobuf (no plugin needed)."""
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    """Per-op and per-category device self-time via xprof's hlo_stats."""
+    from xprof.convert import raw_to_tool_data
 
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                       recursive=True)
     assert paths, f"no xplane under {trace_dir}"
-    xspace = xplane_pb2.XSpace()
-    with open(sorted(paths)[-1], "rb") as f:
-        xspace.ParseFromString(f.read())
+    data, _ = raw_to_tool_data.xspace_to_tool_data([sorted(paths)[-1]],
+                                                   "hlo_stats", {})
+    d = json.loads(data)
+    idx = {c["id"]: k for k, c in enumerate(d["cols"])}
+    rows = [[(c or {}).get("v") for c in row["c"]] for row in d["rows"]]
 
     per_op = collections.Counter()
-    per_line = collections.Counter()
-    for plane in xspace.planes:
-        if "TPU" not in plane.name and "device" not in plane.name.lower():
-            continue
-        meta = plane.event_metadata
-        for line in plane.lines:
-            if line.name not in ("XLA Ops", "XLA Modules", "Steps"):
-                # TensorCore op lines vary by runtime; fall back to any
-                # line whose events resolve through event_metadata.
-                pass
-            for ev in line.events:
-                name = meta[ev.metadata_id].name if ev.metadata_id in meta \
-                    else str(ev.metadata_id)
-                dur_us = ev.duration_ps / 1e6
-                per_line[(plane.name, line.name)] += dur_us
-                if line.name == "XLA Ops":
-                    per_op[name] += dur_us
-
-    total_op_us = sum(per_op.values())
+    per_cat = collections.Counter()
+    occ = collections.Counter()
+    tot = 0.0
+    for row in rows:
+        st = row[idx["total_self_time"]] or 0.0
+        per_cat[str(row[idx["category"]])] += st
+        per_op[(str(row[idx["category"]]),
+                str(row[idx["hlo_op_name"]]))] += st
+        occ[str(row[idx["category"]])] += row[idx["occurrences"]] or 0
+        tot += st
     out = {
         "steps": steps,
-        "total_xla_op_us": round(total_op_us, 1),
-        "per_step_xla_op_us": round(total_op_us / max(steps, 1), 1),
-        "lines_us": {f"{p} :: {l}": round(v, 1)
-                     for (p, l), v in per_line.most_common(12)},
+        "total_device_self_us": round(tot, 1),
+        "per_step_device_self_us": round(tot / max(steps, 1), 1),
+        "categories_us_per_step": {
+            k: {"us": round(v / max(steps, 1), 2),
+                "pct": round(100 * v / max(tot, 1e-9), 1),
+                "occurrences": occ[k]}
+            for k, v in per_cat.most_common(12)},
         "top_ops_us_per_step": [
-            {"op": k, "us_per_step": round(v / max(steps, 1), 2),
-             "pct": round(100 * v / max(total_op_us, 1e-9), 2)}
-            for k, v in per_op.most_common(top)],
+            {"category": c, "op": o,
+             "us_per_step": round(v / max(steps, 1), 2),
+             "pct": round(100 * v / max(tot, 1e-9), 2)}
+            for (c, o), v in per_op.most_common(top)],
     }
     return out
 
@@ -113,7 +110,7 @@ if __name__ == "__main__":
     res = analyze(a.trace_dir, a.steps)
     with open(a.out, "w") as f:
         json.dump(res, f, indent=1)
-    print(json.dumps({"per_step_xla_op_us": res["per_step_xla_op_us"],
-                      "out": a.out}))
+    print(json.dumps({"per_step_device_self_us":
+                      res["per_step_device_self_us"], "out": a.out}))
     for row in res["top_ops_us_per_step"][:25]:
         print(f"{row['us_per_step']:9.2f} us  {row['pct']:5.2f}%  {row['op']}")
