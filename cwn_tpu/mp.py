@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 
 from cwn_tpu.batch import CochainBuffers
@@ -159,6 +160,13 @@ def factorized_up_channel(x, x_shared, kernel, bias, buf, cob_buf, act_fn,
     # Member-sorted pass: each member collects its coboundaries' S_c and
     # subtracts its own contribution (the j = i pair is not an upper edge).
     own = t(buf.fac_src, buf.fac_cob, buf.fac_mask)
+    # MISCOMPILATION GUARD (XLA:TPU): without this barrier, fusing the
+    # gather+act recompute of `own` into the final scatter-add compiles to
+    # wrong results at some shapes (observed on CSL batches: jitted output
+    # off by O(100) while eager/CPU/numpy agree; returning `own` as an
+    # extra output, or this barrier, restores correctness).  Keep the
+    # [M, F] term materialised.
+    own = jax.lax.optimization_barrier(own)
     tot = jnp.take(s_c, buf.fac_cob, axis=0, mode="clip") \
         * buf.fac_mask[:, None]
     return segment_reduce("add")(

@@ -38,13 +38,13 @@ def run_one(nonlinearity: str, seed: int, epochs: int):
             "last_val": curves["last_val"]}
 
 
-def run(epochs: int, seeds):
+def run(epochs: int, seeds, nls=("tanh", "id")):
     results = {}
     if os.path.exists(OUT):
         with open(OUT) as f:
             results = json.load(f).get("runs", {})
     for seed in seeds:
-        for nl in ("tanh", "id"):
+        for nl in nls:
             k = f"{nl}/s{seed}"
             if k in results:
                 print(f"{k}: cached")
@@ -73,5 +73,10 @@ def _dump(results, epochs):
 
 if __name__ == "__main__":
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 250
-    seeds = [int(s) for s in sys.argv[2:]] or [0, 1, 2, 3, 4]
-    run(epochs, seeds)
+    rest = sys.argv[2:]
+    # Optional nonlinearity filter ("tanh"/"id") so each (nl, seed) run can
+    # live in its own process — a long-lived axon process accumulates host
+    # RSS with dispatch count (flow_inv was OOM-killed at ~81 GB).
+    nls = tuple(a for a in rest if a in ("tanh", "id")) or ("tanh", "id")
+    seeds = [int(s) for s in rest if s not in ("tanh", "id")]
+    run(epochs, seeds or [0, 1, 2, 3, 4], nls=nls)
