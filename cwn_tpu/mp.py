@@ -113,13 +113,16 @@ def fused_mlp_channel(x, x_shared, kernel, bias, plan, plan_bs, plan_bc,
 
 def factorized_up_usable(buf, cob_buf, x, x_shared,
                          min_ratio: float = 4.0) -> bool:
-    """The O(memberships) upper channel beats the O(pairs) kernel when the
-    pair list is much longer than the membership list (i.e. coboundaries
-    have many members — rings).  Static shapes only, so the branch is
-    jit-stable per batch shape."""
+    """The O(memberships) upper channel beats the O(pairs) XLA fallback
+    when the pair list is much longer than the membership list (i.e.
+    coboundaries have many members — rings).  When Pallas tile plans ARE
+    attached, the pairwise MXU kernels still win (the factorized
+    reductions currently run as XLA scatter fusions; see PERF.md round-4
+    trace), so the kernel path keeps precedence.  Static shapes only, so
+    the branch is jit-stable per batch shape."""
     return (buf.fac_src is not None and cob_buf is not None
             and x_shared is not None and buf.ep_axis is None
-            and buf.up_orient is None
+            and buf.up_orient is None and buf.up_plan is None
             and x.dtype == jnp.float32 and x_shared.dtype == jnp.float32
             and buf.up_src.shape[0] >= min_ratio * buf.fac_src.shape[0])
 
