@@ -161,10 +161,15 @@ def main():
         hidden=hidden, dropout_rate=0.0, max_dim=2, use_coboundaries=True,
         embed_edge=True)
 
-    # XLA fallback path (no tile plans) vs the Pallas kernel path.
+    # XLA fallback path (no tile plans) vs the Pallas kernel path.  Both
+    # get the same placement autotune so the comparison is like-for-like.
+    from cwn_tpu.utils.placement import tune_state_placement
     batch_xla = jax.device_put(batch)
     step, mk = _make_step(model, batch_xla, y)
-    dt_xla, _ = _time_steps_alloc(mk, step, batch_xla, allocs=2)
+    state, _, _ = tune_state_placement(mk, step, batch_xla, allocs=4,
+                                       iters=20, windows=2)
+    dt_xla = _time_steps(step, *state, batch_xla)
+    del state
 
     batch_pl = jax.device_put(add_tile_plans(batch))
     step_pl, mk_pl = _make_step(model, batch_pl, y)
@@ -183,7 +188,6 @@ def main():
     # TYPICAL post-tune step (donation pins the chosen placement for the
     # whole run), not a best-of-N lottery draw; two independent tunes are
     # reported to show the result reproduces.
-    from cwn_tpu.utils.placement import tune_state_placement
     tuned = []
     pl_probes = None
     for _ in range(2):
@@ -236,6 +240,17 @@ def main():
     if flops is not None:
         out["flops_per_step"] = flops
         out["tflops_per_s"] = round(flops / dt / 1e12, 3)
+
+    # Kernel-path throughput THROUGH the DP code path (shard_map over a
+    # 1-device mesh on the single chip): proves the parallel wrapper costs
+    # ~nothing relative to the plain step.
+    try:
+        dp = _measure_dp(1)
+        out["dp1_step_time_ms"] = dp["step_time_ms"]
+        out["dp1_edges_per_s"] = dp["value"]
+        out["dp1_msgs_per_step"] = dp["msgs_per_step"]
+    except Exception as e:    # never block the headline number
+        out["dp1_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(out))
 
 
@@ -369,7 +384,11 @@ def main_dp(n_devices: int):
                              ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    print(json.dumps(_measure_dp(n_devices)))
 
+
+def _measure_dp(n_devices: int):
+    import jax
     import jax.numpy as jnp
     import optax
     from cwn_tpu.batch import PadPlan, add_tile_plans_sharded, pack_complexes
@@ -416,7 +435,7 @@ def main_dp(n_devices: int):
 
     dt, _ = _time_steps_alloc(make_state, step1, stacked, allocs=3)
     edges_per_s = msgs_per_step / dt
-    print(json.dumps({
+    return {
         "metric": f"DP({n_devices}) boundary+upper message edges/s "
                   "(EmbedSparseCIN train step, Pallas plans attached)",
         "value": round(edges_per_s, 1),
@@ -426,7 +445,7 @@ def main_dp(n_devices: int):
         "msgs_per_step": msgs_per_step,
         "n_devices": n_devices,
         "device": jax.devices()[0].device_kind,
-    }))
+    }
 
 
 if __name__ == "__main__":

@@ -79,6 +79,17 @@ class CochainBuffers:
     fac_src: Optional[np.ndarray] = None   # [M] int32 member cell (dim k), ascending
     fac_cob: Optional[np.ndarray] = None   # [M] int32 coboundary cell (dim k+1)
     fac_mask: Optional[np.ndarray] = None  # [M] float32
+    # Pallas plans for the factorized channel's three reductions (XLA
+    # lowers them to slow scatter fusions otherwise; PERF.md round 4):
+    #   fac_s: membership rows (coboundary-sorted t1) -> coboundary cells
+    #   fac_o: membership rows (member-sorted t1)     -> member cells
+    #   fac_g: coboundary cells (S_c)                 -> member cells
+    fac_s_plan: Optional[object] = None
+    fac_s_plan_t: Optional[object] = None
+    fac_o_plan: Optional[object] = None
+    fac_o_plan_t: Optional[object] = None
+    fac_g_plan: Optional[object] = None
+    fac_g_plan_t: Optional[object] = None
     up_plan: Optional[object] = None
     up_plan_t: Optional[object] = None
     down_plan: Optional[object] = None
@@ -522,13 +533,32 @@ def add_tile_plans(batch: ComplexBatch, tile: int = 256, window: int = 256,
             pool_p, pool_pt, _, _ = plans(cells, d.batch, d.cell_mask, None,
                                           n_k, batch.batch_size)
 
+        # Factorized-channel reduction plans: one scatter per direction
+        # over the membership list (dim k+1's boundary structure), so the
+        # O(memberships) channel rides the MXU kernels instead of XLA
+        # scatter fusions.  The membership-row "gathers" use positions as
+        # the src stream — ascending, so the windowed plans tile at full
+        # occupancy.
+        fs = fst = fo = fot = fg = fgt = None
+        if d.fac_src is not None and up_valid:
+            nxt = batch.dims[k + 1]
+            m = d.fac_src.shape[0]
+            pos = np.arange(m, dtype=np.int64)
+            fs, fst, _, _ = plans(pos, nxt.b_dst, nxt.b_mask, None, m, n_up)
+            fo, fot, _, _ = plans(pos, d.fac_src, d.fac_mask, None, m, n_k)
+            fg, fgt, _, _ = plans(d.fac_cob, d.fac_src, d.fac_mask, None,
+                                  n_up, n_k)
+
         new_dims.append(d.replace(
             up_plan=up_p, up_plan_t=up_pt,
             up_plan_bs=up_bs, up_plan_bc=up_bc,
             down_plan=down_p, down_plan_t=down_pt,
             down_plan_bs=down_bs, down_plan_bc=down_bc,
             b_plan=b_p, b_plan_t=b_pt,
-            pool_plan=pool_p, pool_plan_t=pool_pt))
+            pool_plan=pool_p, pool_plan_t=pool_pt,
+            fac_s_plan=fs, fac_s_plan_t=fst,
+            fac_o_plan=fo, fac_o_plan_t=fot,
+            fac_g_plan=fg, fac_g_plan_t=fgt))
     return batch.replace(dims=tuple(new_dims))
 
 
@@ -603,7 +633,9 @@ def add_uniform_tile_plans(batch: ComplexBatch, template: Complex,
 
 PLAN_FIELDS = ("up_plan", "up_plan_t", "up_plan_bs", "up_plan_bc",
                "down_plan", "down_plan_t", "down_plan_bs", "down_plan_bc",
-               "b_plan", "b_plan_t", "pool_plan", "pool_plan_t")
+               "b_plan", "b_plan_t", "pool_plan", "pool_plan_t",
+               "fac_s_plan", "fac_s_plan_t", "fac_o_plan", "fac_o_plan_t",
+               "fac_g_plan", "fac_g_plan_t")
 
 
 def _pad_plan_tiles(plan, target: int):

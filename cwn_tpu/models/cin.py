@@ -21,7 +21,9 @@ from flax import linen as nn
 
 from cwn_tpu.batch import ComplexBatch
 from cwn_tpu.mp import (
+    factorized_kernel_usable,
     factorized_up_channel,
+    factorized_up_channel_kernel,
     factorized_up_usable,
     fused_channel_usable,
     fused_mlp_channel,
@@ -70,6 +72,14 @@ class SparseCINCochainConv(nn.Module):
             kernel, bias = LinearParams(layer_dim, 2 * layer_dim,
                                         name="msg_up")()
             if (buf.up_src.shape[0] > 0
+                    and factorized_kernel_usable(buf, cob_buf, x, x_up)):
+                # O(memberships) exact rewrite of the pairwise channel,
+                # reductions on the MXU kernels — fewer tiles, same math.
+                fused_up = factorized_up_channel_kernel(
+                    x, x_up, kernel, bias, buf, cob_buf, act, x.shape[0])
+                up_attr = None
+                message_up = None
+            elif (buf.up_src.shape[0] > 0
                     and factorized_up_usable(buf, cob_buf, x, x_up)):
                 # O(memberships) exact rewrite of the pairwise channel —
                 # the dominant ring tiles never materialise.
@@ -177,6 +187,10 @@ class CINppCochainConv(nn.Module):
             up_attr = down_attr = None
             message_up = message_down = None
             if (buf.up_src.shape[0] > 0
+                    and factorized_kernel_usable(buf, cob_buf, x, x_up)):
+                fused_up = factorized_up_channel_kernel(
+                    x, x_up, k_up, b_up, buf, cob_buf, act, x.shape[0])
+            elif (buf.up_src.shape[0] > 0
                     and factorized_up_usable(buf, cob_buf, x, x_up)):
                 fused_up = factorized_up_channel(
                     x, x_up, k_up, b_up, buf, cob_buf, act, x.shape[0])

@@ -127,6 +127,49 @@ def factorized_up_usable(buf, cob_buf, x, x_shared,
             and buf.up_src.shape[0] >= min_ratio * buf.fac_src.shape[0])
 
 
+def factorized_kernel_usable(buf, cob_buf, x, x_shared,
+                             min_ratio: float = 2.0) -> bool:
+    """Kernelized factorized channel: the three membership reductions run
+    as Pallas identity SpMMs (plans built by add_tile_plans).  Beats the
+    pairwise kernels whenever the pair list meaningfully exceeds the
+    membership list — the per-tile work is identical, there are just
+    fewer tiles."""
+    return (buf.fac_s_plan is not None and buf.fac_o_plan is not None
+            and buf.fac_g_plan is not None and cob_buf is not None
+            and x_shared is not None and buf.ep_axis is None
+            and buf.up_orient is None
+            and x.dtype == jnp.float32 and x_shared.dtype == jnp.float32
+            and x.shape[-1] >= MIN_KERNEL_FEAT
+            and buf.up_src.shape[0] >= min_ratio * buf.fac_src.shape[0])
+
+
+def factorized_up_channel_kernel(x, x_shared, kernel, bias, buf, cob_buf,
+                                 act_fn, n: int):
+    """factorized_up_channel with the three reductions on the MXU kernels.
+
+    t1 gathers/activation stay in XLA (pure gathers fuse well); the
+    segment sums — the part XLA lowers to slow scatter fusions — run as
+    identity one-hot SpMMs over membership-position plans (full-occupancy
+    tiles: the position stream is ascending by construction)."""
+    from cwn_tpu.ops.pallas_segment import segment_spmm_ad
+    f = x.shape[-1]
+    xs = x @ kernel[:f]
+    xu = x_shared @ kernel[f:]
+    b_row = bias.reshape(1, -1)
+
+    def t(src_ids, cob_ids, mask):
+        pre = (jnp.take(xs, src_ids, axis=0, mode="clip")
+               + jnp.take(xu, cob_ids, axis=0, mode="clip") + b_row)
+        return act_fn(pre) * mask[:, None]
+
+    n_up = x_shared.shape[0]
+    t1 = t(cob_buf.b_src, cob_buf.b_dst, cob_buf.b_mask)
+    s_c = segment_spmm_ad(t1, buf.fac_s_plan, buf.fac_s_plan_t)[:n_up]
+    own = t(buf.fac_src, buf.fac_cob, buf.fac_mask)
+    return (segment_spmm_ad(s_c, buf.fac_g_plan, buf.fac_g_plan_t)[:n]
+            - segment_spmm_ad(own, buf.fac_o_plan, buf.fac_o_plan_t)[:n])
+
+
 def factorized_up_channel(x, x_shared, kernel, bias, buf, cob_buf, act_fn,
                           n: int):
     """Exact pairwise upper-channel sum in O(memberships) work.

@@ -51,6 +51,34 @@ def test_fac_fields_present_and_eligible(batch):
                                     jnp.zeros((4, 48)), jnp.zeros((4, 48)))
 
 
+def test_kernelized_channel_matches_pairwise(batch):
+    """The MXU-kernel variant of the factorized channel (interpret mode)
+    == the pairwise oracle, through the full model."""
+    from cwn_tpu.batch import add_tile_plans
+    from cwn_tpu.ops import pallas_segment
+
+    pallas_segment.set_interpret(True)
+    try:
+        planned = add_tile_plans(batch, tile=128, window=128, block=128)
+        d1 = planned.dims[1]
+        assert d1.fac_s_plan is not None and d1.fac_g_plan is not None
+        from cwn_tpu.mp import factorized_kernel_usable
+        assert factorized_kernel_usable(
+            d1, planned.dims[2], jnp.zeros((4, 48)), jnp.zeros((4, 48)))
+        model = EmbedSparseCIN(atom_types=28, bond_types=4, out_size=1,
+                               num_layers=2, hidden=48, dropout_rate=0.0,
+                               max_dim=2, use_coboundaries=True,
+                               embed_edge=True)
+        vs = model.init({"params": jax.random.PRNGKey(0)}, planned,
+                        train=False)
+        out_k = model.apply(vs, planned, train=False)
+        out_p = model.apply(vs, _strip_fac(batch), train=False)
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_p),
+                                   rtol=2e-3, atol=2e-3)
+    finally:
+        pallas_segment.set_interpret(False)
+
+
 def test_model_forward_matches_pairwise(batch):
     model = EmbedSparseCIN(atom_types=28, bond_types=4, out_size=1,
                            num_layers=2, hidden=48, dropout_rate=0.0,
