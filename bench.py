@@ -161,18 +161,71 @@ def main():
         hidden=hidden, dropout_rate=0.0, max_dim=2, use_coboundaries=True,
         embed_edge=True)
 
-    # XLA fallback path (no tile plans) vs the Pallas kernel path.  Both
-    # get the same placement autotune so the comparison is like-for-like.
+    # Three arms, IDENTICAL tune budgets (2 independent placement tunes at
+    # allocs=4 each; each arm reports the WORSE of its two tuned
+    # measurements — a typical, reproducible number, not a best-of-N
+    # lottery draw):
+    #   xla         — no tile plans, fac_* present: the factorized-O(r)
+    #                 XLA path (the path real ZINC training runs).
+    #   xla_pairwise— fac_* stripped: the pre-round-4 pairwise XLA path,
+    #                 kept for round-over-round comparability (the torch
+    #                 anchor is also pairwise).
+    #   pallas      — tile plans attached: the Pallas kernel path.
     from cwn_tpu.utils.placement import tune_state_placement
+
+    def tuned_worse(step_fn, mk_fn, b, tunes=2, allocs=4):
+        measured, probes0 = [], None
+        for _ in range(tunes):
+            state, _, probes = tune_state_placement(
+                mk_fn, step_fn, b, allocs=allocs, iters=20, windows=2)
+            measured.append(_time_steps(step_fn, *state, b))
+            probes0 = probes if probes0 is None else probes0
+            del state
+        return max(measured), measured, probes0
+
+    import dataclasses as _dc
+
+    def strip_fac(b):
+        return _dc.replace(b, dims=tuple(
+            _dc.replace(d, fac_src=None, fac_cob=None, fac_mask=None)
+            for d in b.dims))
+
     batch_xla = jax.device_put(batch)
     step, mk = _make_step(model, batch_xla, y)
-    state, _, _ = tune_state_placement(mk, step, batch_xla, allocs=4,
-                                       iters=20, windows=2)
-    dt_xla = _time_steps(step, *state, batch_xla)
-    del state
+
+    batch_pair = jax.device_put(strip_fac(batch))
+    step_pair, mk_pair = _make_step(model, batch_pair, y)
 
     batch_pl = jax.device_put(add_tile_plans(batch))
     step_pl, mk_pl = _make_step(model, batch_pl, y)
+
+    # Miscompilation canary BEFORE timing (a silent XLA:TPU fusion bug
+    # corrupted CSL folds in round 4 — commit 95e834c): the factorized-XLA
+    # path and the kernel path must both reproduce the pairwise oracle's
+    # forward output on the bench batch.
+    p0, bs0, _ = mk()
+    fwd = jax.jit(lambda b: model.apply(
+        {"params": p0, "batch_stats": bs0}, b, train=False))
+    out_pair = np.asarray(fwd(batch_pair))
+    # Tolerances are per-arm: the factorized rewrite is term-for-term the
+    # same f32 sum (measured bit-exact on this batch), while the Pallas
+    # kernels carry the documented passes=2 bf16 value splitting (~2^-17
+    # relative per value, compounding over 2 layers to ~2e-3 relative on
+    # this batch).  A structural miscompile (r4's was ~O(1) wrong) trips
+    # either bound by orders of magnitude.
+    for name, b_arm, rtol in (("factorized_xla", batch_xla, 1e-4),
+                              ("pallas", batch_pl, 5e-3)):
+        got = np.asarray(fwd(b_arm))
+        err = float(np.max(np.abs(got - out_pair)))
+        scale = float(np.max(np.abs(out_pair))) + 1e-6
+        assert err <= rtol * scale + 1e-4, \
+            f"CANARY FAILED: {name} deviates from the pairwise oracle " \
+            f"(max abs err {err:.3e}, scale {scale:.3e})"
+    del p0, bs0, fwd
+
+    dt_xla, xla_tuned, _ = tuned_worse(step, mk, batch_xla)
+    dt_pair, _, _ = tuned_worse(step_pair, mk_pair, batch_pair)
+
     # Cost analysis of the compiled Pallas-path step.
     flops = None
     try:
@@ -182,22 +235,7 @@ def main():
             flops = float(cost["flops"])
     except Exception:
         pass
-    # Placement autotune (cwn_tpu.utils.placement): probe `allocs`
-    # independent state allocations, keep the fastest, then measure the
-    # winner with the standard windows.  The reported step time is the
-    # TYPICAL post-tune step (donation pins the chosen placement for the
-    # whole run), not a best-of-N lottery draw; two independent tunes are
-    # reported to show the result reproduces.
-    tuned = []
-    pl_probes = None
-    for _ in range(2):
-        state, _, probes = tune_state_placement(
-            mk_pl, step_pl, batch_pl, allocs=6, iters=20, windows=2)
-        tuned.append(_time_steps(step_pl, *state, batch_pl))
-        pl_probes = probes if pl_probes is None else pl_probes
-        del state
-    dt_pl = max(tuned)              # the WORSE of two independent tunes
-    pl_times = pl_probes
+    dt_pl, tuned, pl_times = tuned_worse(step_pl, mk_pl, batch_pl)
 
     # Measured anchor: the same step on torch-CPU scatter ops (cached — the
     # anchor machine does not change between runs).
@@ -226,7 +264,12 @@ def main():
         "torch_cpu_edges_per_s": round(torch_edges_per_s, 1),
         "vs_provisional_budget": round(edges_per_s / REF_EDGES_PER_S, 3),
         "step_time_ms": round(dt * 1e3, 3),
+        "xla_path": "factorized",   # step_time_ms_xla measures the O(r)
+                                    # factorized up channel since round 4
+        "canary_factorized_ok": True,   # asserted above, pre-timing
         "step_time_ms_xla": round(dt_xla * 1e3, 3),
+        "step_time_ms_xla_tunes": [round(t * 1e3, 3) for t in xla_tuned],
+        "step_time_ms_xla_pairwise": round(dt_pair * 1e3, 3),
         "step_time_ms_pallas": round(dt_pl * 1e3, 3),
         "step_time_ms_pallas_tunes": [round(t * 1e3, 3) for t in tuned],
         "placement_probe_ms": [round(t * 1e3, 3) for t in pl_times],

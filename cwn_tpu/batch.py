@@ -572,7 +572,16 @@ def add_uniform_tile_plans(batch: ComplexBatch, template: Complex,
     The kernels run on features reshaped to [n_struct, count * F], so the
     plan geometry (window/block) is sized for that width: each DMA'd x
     window / output block must fit the VMEM budget at count*feat_hint
-    lanes.  One plan per channel + its transpose (for the custom VJP)."""
+    lanes.  One plan per channel + its transpose (for the custom VJP).
+
+    Channels whose structure is banded in cell order and whose weights are
+    exact in bf16 (+-1 orientations, 0/1 masks — all of them in practice)
+    get a BandedPlan (cwn_tpu.ops.banded): one dense A_tile @ x_window
+    matmul per tile instead of per-edge one-hot mediation — measured
+    ~10x less device time on the FLOW uniform step, where one-hot
+    structural FLOPs at 4096 lanes were 67% of the step.  Scattered or
+    inexact-weight channels keep the one-hot TilePlan."""
+    from cwn_tpu.ops.banded import build_banded_plan
     from cwn_tpu.ops.tiles import PRECISION_PASSES, build_tile_plan
 
     passes = PRECISION_PASSES[precision]
@@ -608,8 +617,13 @@ def add_uniform_tile_plans(batch: ComplexBatch, template: Complex,
             dst = np.asarray(index[1], np.int64)
             w = np.ones(len(src), np.float32) if orient is None \
                 else np.asarray(orient, np.float32)
-            fwd = build_tile_plan(src, dst, w, n_src, n_dst, **geom)
-            bwd = build_tile_plan(dst, src, w, n_dst, n_src, **geom)
+            bgeom = dict(block=128, window=min(geom["window"], 256),
+                         passes=passes)
+            fwd = build_banded_plan(src, dst, w, n_src, n_dst, **bgeom)
+            bwd = build_banded_plan(dst, src, w, n_dst, n_src, **bgeom)
+            if fwd is None or bwd is None:
+                fwd = build_tile_plan(src, dst, w, n_src, n_dst, **geom)
+                bwd = build_tile_plan(dst, src, w, n_dst, n_src, **geom)
             return fwd, bwd
 
         up_p, up_pt = uplan(co.upper_index, co.upper_orient,

@@ -53,6 +53,9 @@ def get_parser() -> argparse.ArgumentParser:
                         default=os.path.join(os.getcwd(), "exp_results"))
     parser.add_argument("--exp_name", type=str, default=str(time.time()))
     parser.add_argument("--dump_curves", action="store_true")
+    parser.add_argument("--curves_json", type=str, default=None,
+                        help="write the curves/results dict to this JSON "
+                             "path (the run_isolated subprocess channel)")
     parser.add_argument("--untrained", action="store_true")
     parser.add_argument("--fold", type=int, default=None)
     parser.add_argument("--folds", type=int, default=None)

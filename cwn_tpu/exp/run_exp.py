@@ -385,4 +385,10 @@ if __name__ == "__main__":
     from cwn_tpu.exp.parser import get_parser, validate_args
     args = get_parser().parse_args()
     validate_args(args)
-    main(args)
+    result = main(args)
+    if getattr(args, "curves_json", None):
+        # Subprocess channel for run_isolated: numpy scalars -> python,
+        # NaN survives the round trip (Python json reads the NaN literal).
+        import json
+        with open(args.curves_json, "w") as f:
+            json.dump(result, f, default=float)

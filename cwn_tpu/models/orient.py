@@ -44,6 +44,9 @@ class OrientedConv(nn.Module):
         def fix(p):
             if p is None or signed_ok:
                 return p
+            from cwn_tpu.ops.banded import BandedPlan
+            if isinstance(p, BandedPlan):
+                return p.replace(a=jnp.abs(p.a))
             return p.replace(mask=jnp.abs(p.mask))
 
         from cwn_tpu.mp import (_identity_channel, _plan_usable,

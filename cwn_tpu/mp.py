@@ -72,8 +72,12 @@ def _uniform_channel(x_source, plan, plan_t, n_src_struct: int,
     reshapes to [n_struct, count*F] (cell-major) and ONE small SpMM over
     the structure plan applies the adjacency to all complexes at once —
     the value operand is count*F lanes wide, which is what the MXU wants.
+
+    The plan is a BandedPlan (dense A-tile matmuls; cwn_tpu.ops.banded)
+    when the structure is banded in cell order, else a one-hot TilePlan —
+    spmm_ad dispatches on the type.
     """
-    from cwn_tpu.ops.pallas_segment import segment_spmm_ad
+    from cwn_tpu.ops.banded import spmm_ad as segment_spmm_ad
     f = x_source.shape[-1]
     xb = x_source[:count * n_src_struct].reshape(count, n_src_struct, f)
     xb = jnp.swapaxes(xb, 0, 1).reshape(n_src_struct, count * f)

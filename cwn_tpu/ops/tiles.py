@@ -346,9 +346,9 @@ def concat_window_plans(plans, src_offsets, dst_offsets,
     per-dim section sizes are, by construction in pack_complexes).
 
     Returns None when the plans cannot be combined: mixed kernel modes,
-    mismatched geometry/passes, or a section smaller than the window span
-    (the per-plan clamp `win_start <= num_src - window` no longer holds
-    inside a shorter section).
+    mismatched geometry/passes, an offset list not matching the plans
+    (wrong length, misaligned), or a section span smaller than its plan's
+    padded row count (windows/blocks would cross section boundaries).
     """
     plans = list(plans)
     if not plans:
@@ -364,9 +364,18 @@ def concat_window_plans(plans, src_offsets, dst_offsets,
             return None
     if has_extra and extra_offsets is None:
         return None
-    for off in (src_offsets, dst_offsets) + (
-            (extra_offsets,) if has_extra else ()):
-        if any(o % 8 for o in off):
+    # Layout validation: one offset per plan, 8-aligned, and every section
+    # span at least its plan's padded row count — a caller laying sections
+    # out by UNPADDED sizes would otherwise get windows/blocks silently
+    # reading and writing across section boundaries.
+    sizes = (("num_src", src_offsets), ("num_dst", dst_offsets)) + (
+        (("num_extra", extra_offsets),) if has_extra else ())
+    for field, off in sizes:
+        if len(off) != len(plans) or any(o % 8 for o in off):
+            return None
+        spans = [off[i + 1] - off[i] for i in range(len(off) - 1)]
+        if any(s < getattr(plans[i], field)
+               for i, s in enumerate(spans)):
             return None
 
     def cat(field, offs=None):

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Callable, Dict, List, Optional
 
@@ -222,14 +223,17 @@ class Trainer:
         self.evaluator = Evaluator(config.eval_metric, eps=config.iso_eps)
         self.loss_fn = LOSSES[config.task_type] \
             if config.task_type != "isomorphism" else None
-        self._epoch_scans = None
+        # Steps per dispatch on the scanned epoch paths.  8 amortizes the
+        # per-dispatch tunnel round trip (~1.2 ms/step, measured in
+        # tools/probe_dispatch_floor.py) to noise while keeping compiles
+        # and the remainder-program count small.
+        self.unroll = max(1, int(os.environ.get("CWN_STEP_UNROLL", "8")))
         self._banked_jits = {}
         self._build_steps()
 
     # -- jitted functions -------------------------------------------------
     def _build_steps(self):
         model, loss_fn = self.model, self.loss_fn
-        self._epoch_scans = None
         self._banked_jits = {}
 
         if self.n_devices > 1 and loss_fn is not None:
@@ -280,55 +284,75 @@ class Trainer:
         return functools.partial(jax.jit, donate_argnums=(0, 1, 2))(
             self._step_core())
 
-    def _build_epoch_steps(self):
-        """Jitted per-step runners for the epoch fast paths: the batch is
-        sliced / gathered / assembled INSIDE the jit from device-resident
-        epoch data, steps are dispatched back-to-back WITHOUT per-step
-        host syncs, and the epoch's losses are fetched in one transfer.
+    def _build_megastep(self, make_batch, k: int):
+        """A jit that runs ``k`` optimizer steps in ONE dispatch: each
+        sub-step forms its batch INSIDE the jit from device-resident epoch
+        data (``make_batch(data, i)``), the carried state threads through
+        unrolled sub-steps, and the k losses come back stacked.
 
-        Why not lax.scan over the epoch: on this runtime the identical
+        Why unroll instead of lax.scan: on this runtime the identical
         step program runs ~3x slower inside a while loop (measured
         18.8 vs 6.5 ms/step on the ZINC step, scan unroll makes no
-        difference), while sequential async dispatch pipelines at full
-        single-step speed.  The per-step scalar-loss fetch it replaces
-        cost a ~40-60 ms round trip per step over the tunneled chip
-        (tools/profile_dispatch.py); the reference comparator feeds its
-        GPU without such stalls (/root/reference/data/data_loading.py:
-        44-110)."""
+        difference), while a Python-unrolled body compiles to the same
+        straight-line code as k sequential steps.  k > 1 then also
+        amortizes the per-dispatch tunnel round trip (the residual
+        ~9 ms/step gap from round 4, tools/profile_dispatch.py) over k
+        steps.  Sub-step i folds the epoch rng by its GLOBAL step index,
+        so any (k, remainder) split replays the identical step sequence —
+        tests/test_epoch_scan.py pins bit-equality vs the per-batch loop.
+        """
         step = self._step_core()
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def megastep(params, batch_stats, opt_state, data, i0, rng, lr):
+            losses = []
+            for j in range(k):
+                i = i0 + j
+                batch = make_batch(data, i)
+                params, batch_stats, opt_state, loss = step(
+                    params, batch_stats, opt_state, batch,
+                    jax.random.fold_in(rng, i), lr)
+                # Barrier between sub-steps: keeps XLA from fusing across
+                # step boundaries, so every sub-step compiles to the SAME
+                # arithmetic as a single-step dispatch (bit-exact with the
+                # per-batch loop, and no fresh cross-step fusion surface on
+                # TPU — see the mp.py factorized-channel miscompile).
+                params, batch_stats, opt_state, loss = \
+                    jax.lax.optimization_barrier(
+                        (params, batch_stats, opt_state, loss))
+                losses.append(loss)
+            return params, batch_stats, opt_state, jnp.stack(losses)
+
+        return megastep
+
+    def _get_megastep(self, kind: str, plan, k: int):
+        """Cache of megastep jits keyed by (epoch kind, pad plan, unroll)."""
+        key = (kind, plan, k)
+        fn = self._banked_jits.get(key)
+        if fn is not None:
+            return fn
         from cwn_tpu.train.loader import gather_uniform_batch
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-        def stacked_step(params, batch_stats, opt_state, batches, i,
-                         rng, lr):
-            batch = jax.tree.map(lambda a: a[i], batches)
-            return step(params, batch_stats, opt_state, batch,
-                        jax.random.fold_in(rng, i), lr)
+        if kind == "stacked":
+            def make_batch(data, i):
+                (batches,) = data
+                return jax.tree.map(lambda a: a[i], batches)
+        elif kind == "uniform":
+            def make_batch(data, i):
+                tpl, bank_dims, bank_y, idx_mat = data
+                return gather_uniform_batch(tpl, bank_dims, bank_y,
+                                            idx_mat[i])
+        elif kind == "banked":
+            from cwn_tpu.train.device_pack import assemble_batch
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-        def uniform_step(params, batch_stats, opt_state, tpl, bank_dims,
-                         bank_y, idx_mat, i, rng, lr):
-            batch = gather_uniform_batch(tpl, bank_dims, bank_y, idx_mat[i])
-            return step(params, batch_stats, opt_state, batch,
-                        jax.random.fold_in(rng, i), lr)
-
-        return stacked_step, uniform_step
-
-    def _build_banked_step(self, plan):
-        """Per-step jit assembling its batch on device from the staged
-        per-complex bank (cwn_tpu.train.device_pack): per-epoch
-        host->device traffic is one small index matrix."""
-        step = self._step_core()
-        from cwn_tpu.train.device_pack import assemble_batch
-
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-        def banked_step(params, batch_stats, opt_state, bank, idx_mat,
-                        counts, i, rng, lr):
-            batch = assemble_batch(bank, plan, idx_mat[i], counts[i])
-            return step(params, batch_stats, opt_state, batch,
-                        jax.random.fold_in(rng, i), lr)
-
-        return banked_step
+            def make_batch(data, i):
+                bank, idx_mat, counts = data
+                return assemble_batch(bank, plan, idx_mat[i], counts[i])
+        else:
+            raise ValueError(kind)
+        fn = self._build_megastep(make_batch, k)
+        self._banked_jits[key] = fn
+        return fn
 
     # -- epochs -----------------------------------------------------------
     @staticmethod
@@ -386,13 +410,11 @@ class Trainer:
         return curve
 
     def _train_epoch_scanned(self, spec) -> List[float]:
-        """Run one epoch from a loader epoch spec: back-to-back async step
-        dispatches (batch formed inside each jit), one loss fetch."""
+        """Run one epoch from a loader epoch spec: megastep dispatches of
+        up to ``self.unroll`` steps each (batches formed inside the jit),
+        one loss fetch for the whole epoch."""
         from cwn_tpu.train.loader import fused_device_put
 
-        if self._epoch_scans is None:
-            self._epoch_scans = self._build_epoch_steps()
-        stacked_step, uniform_step = self._epoch_scans
         t0 = time.perf_counter()
         lr = jnp.asarray(self.scheduler.lr, jnp.float32)
         rng = self.rng
@@ -402,40 +424,35 @@ class Trainer:
         losses = []
         tail_loss = None
         n = spec["n"]
-        if spec["kind"] == "uniform":
-            idx_mat = jnp.asarray(spec["idx"])
-            for i in range(n):
-                self.params, self.batch_stats, self.opt_state, loss = \
-                    uniform_step(self.params, self.batch_stats,
-                                 self.opt_state, spec["tpl"],
-                                 spec["bank_dims"], spec["bank_y"],
-                                 idx_mat, np.int32(i), rng, lr)
-                losses.append(loss)
-            if spec.get("tail") is not None:
-                tail_loss = self.train_batch(spec["tail"], sync=False)
-        elif spec["kind"] == "banked" and n > 0:
-            fn = self._banked_jits.get(spec["plan"])
-            if fn is None:
-                fn = self._build_banked_step(spec["plan"])
-                self._banked_jits[spec["plan"]] = fn
-            idx_mat = jnp.asarray(spec["idx"])
-            counts = jnp.asarray(spec["counts"])
-            for i in range(n):
-                self.params, self.batch_stats, self.opt_state, loss = \
-                    fn(self.params, self.batch_stats, self.opt_state,
-                       spec["bank"], idx_mat, counts, np.int32(i), rng, lr)
-                losses.append(loss)
-        elif spec["kind"] == "stacked" and n > 0:
-            batches = fused_device_put(spec["batches"])
-            for i in range(n):
-                self.params, self.batch_stats, self.opt_state, loss = \
-                    stacked_step(self.params, self.batch_stats,
-                                 self.opt_state, batches, np.int32(i),
-                                 rng, lr)
-                losses.append(loss)
+        kind = spec["kind"]
+        plan = spec.get("plan")
+        if kind == "uniform":
+            data = (spec["tpl"], spec["bank_dims"], spec["bank_y"],
+                    jnp.asarray(spec["idx"]))
+        elif kind == "banked":
+            data = (spec["bank"], jnp.asarray(spec["idx"]),
+                    jnp.asarray(spec["counts"]))
+        elif kind == "stacked":
+            data = (fused_device_put(spec["batches"]),)
+        i0 = 0
+        while i0 < n:
+            k = min(self.unroll, n - i0)
+            fn = self._get_megastep(kind, plan, k)
+            self.params, self.batch_stats, self.opt_state, loss_vec = fn(
+                self.params, self.batch_stats, self.opt_state, data,
+                np.int32(i0), rng, lr)
+            losses.append(loss_vec)
+            i0 += k
+        if kind == "uniform" and spec.get("tail") is not None:
+            # One packed upload: the host-resident tail batch's ~50 leaves
+            # would otherwise device_put one by one at a ~30 ms round trip
+            # each over the tunneled chip (measured: this WAS the FLOW
+            # epoch floor — 1.9 s/epoch, ~1.5 s of it tail uploads).
+            tail_loss = self.train_batch(fused_device_put(spec["tail"]),
+                                         sync=False)
         curve = []
         if losses:
-            curve = [float(v) for v in np.asarray(jnp.stack(losses))]
+            curve = [float(v) for v in np.asarray(jnp.concatenate(losses))]
         if tail_loss is not None:
             curve.append(float(tail_loss))
         if spec["n"]:

@@ -9,17 +9,17 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
-from cwn_tpu.exp.parser import get_parser, validate_args
-from cwn_tpu.exp.run_exp import main
+from cwn_tpu.exp.isolate import RunFailed, run_isolated
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "exp_results", "cinpp_zinc_synth.json")
 
 
 def run_one(model: str, seed: int, epochs: int, include_down: bool):
-    p = get_parser()
     argv = [
         "--dataset", "ZINC-SYNTH", "--model", model,
         "--epochs", str(epochs), "--batch_size", "128",
@@ -39,9 +39,7 @@ def run_one(model: str, seed: int, epochs: int, include_down: bool):
         "--exp_name", f"cinpp-zinc-synth-{model}", "--seed", str(seed)]
     if include_down:
         argv.append("--include_down_adj")
-    args = p.parse_args(argv)
-    validate_args(args)
-    curves = main(args)
+    curves = run_isolated(argv, tag=f"{model}/s{seed}")
     return {"best_epoch": curves["best_epoch"],
             "best_val": curves["best_val"],
             "test_at_best": curves["test_at_best"]}
@@ -49,6 +47,7 @@ def run_one(model: str, seed: int, epochs: int, include_down: bool):
 
 def run(epochs: int, seeds):
     results = {}
+    failed = []
     if os.path.exists(OUT):
         with open(OUT) as f:
             results = json.load(f).get("runs", {})
@@ -61,11 +60,19 @@ def run(epochs: int, seeds):
             if k in results:
                 print(f"{k}: cached")
                 continue
-            results[k] = run_one(model, seed, epochs, down)
+            try:
+                results[k] = run_one(model, seed, epochs, down)
+            except RunFailed as e:
+                print(f"[cinpp-zinc] {k} FAILED rc={e.rc} — continuing",
+                      flush=True)
+                failed.append(k)
+                continue
             print(f"[cinpp-zinc] {k}: {results[k]}", flush=True)
             _dump(results, epochs)
     _dump(results, epochs)
-    print("[cinpp-zinc] COMPLETE")
+    print(f"[cinpp-zinc] COMPLETE ({len(results)} runs, "
+          f"{len(failed)} failed: {failed})")
+    return failed
 
 
 def _dump(results, epochs):
@@ -85,4 +92,4 @@ def _dump(results, epochs):
 if __name__ == "__main__":
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     seeds = [int(s) for s in sys.argv[2:]] or [0, 1]
-    run(epochs, seeds)
+    sys.exit(1 if run(epochs, seeds) else 0)

@@ -9,10 +9,11 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
-from cwn_tpu.exp.parser import get_parser, validate_args
-from cwn_tpu.exp.run_exp import main
+from cwn_tpu.exp.isolate import RunFailed, run_isolated
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "exp_results", "csl.json")
@@ -20,18 +21,18 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 def run(seeds, folds=(0, 1, 2, 3, 4), epochs=300):
     results = {}
+    failed = []
     if os.path.exists(OUT):
         with open(OUT) as f:
             prev = json.load(f)
             results = prev.get("runs", {})
-    p = get_parser()
     for seed in seeds:
         for fold in folds:
             k = f"s{seed}/f{fold}"
             if k in results:
                 print(f"{k}: cached")
                 continue
-            args = p.parse_args([
+            argv = [
                 "--dataset", "CSL", "--model", "embed_sparse_cin",
                 "--train_eval_period", "25", "--epochs", str(epochs),
                 "--batch_size", "12", "--drop_rate", "0.0",
@@ -49,9 +50,13 @@ def run(seeds, folds=(0, 1, 2, 3, 4), epochs=300):
                 "--eval_metric", "accuracy", "--preproc_jobs", "4",
                 "--use_pallas", "false",   # avoid per-batch plan shipping
                 "--fold", str(fold), "--exp_name", "cwn-csl",
-                "--seed", str(seed)])
-            validate_args(args)
-            curves = main(args)
+                "--seed", str(seed)]
+            try:
+                curves = run_isolated(argv, tag=k)
+            except RunFailed as e:
+                print(f"[csl] {k} FAILED rc={e.rc} — continuing", flush=True)
+                failed.append(k)
+                continue
             results[k] = {"best_epoch": curves["best_epoch"],
                           "best_val": curves["best_val"],
                           "test_at_best": curves["test_at_best"]}
@@ -66,9 +71,11 @@ def run(seeds, folds=(0, 1, 2, 3, 4), epochs=300):
                     "n_runs": len(results),
                     "runs": results}, f, indent=1)
             print(f"[csl] {k}: {results[k]}", flush=True)
-    print("[csl] COMPLETE")
+    print(f"[csl] COMPLETE ({len(results)} runs, "
+          f"{len(failed)} failed: {failed})")
+    return failed
 
 
 if __name__ == "__main__":
     seeds = [int(s) for s in sys.argv[1:]] or [0, 1, 2]
-    run(seeds)
+    sys.exit(1 if run(seeds) else 0)

@@ -5,10 +5,11 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
-from cwn_tpu.exp.parser import get_parser, validate_args
-from cwn_tpu.exp.run_exp import main
+from cwn_tpu.exp.isolate import RunFailed, run_isolated
 
 
 def run(nonlinearity: str, seeds, epochs=100):
@@ -16,15 +17,15 @@ def run(nonlinearity: str, seeds, epochs=100):
         os.path.abspath(__file__))), "exp_results",
         f"flow_{nonlinearity}.json")
     results = {}
+    failed = []
     if os.path.exists(out_path):
         with open(out_path) as f:
             results = json.load(f).get("seeds", {})
-    p = get_parser()
     for seed in seeds:
         if str(seed) in results:
             print(f"seed {seed}: cached")
             continue
-        args = p.parse_args([
+        argv = [
             "--dataset", "FLOW", "--model", "edge_orient",
             "--num_layers", "4", "--emb_dim", "64", "--lr", "0.001",
             "--batch_size", "64", "--flow_points", "1000",
@@ -32,9 +33,14 @@ def run(nonlinearity: str, seeds, epochs=100):
             "--nonlinearity", nonlinearity, "--drop_rate", "0.0",
             "--lr_scheduler_decay_steps", "20", "--epochs", str(epochs),
             "--train_eval_period", "20", "--exp_name", "flow_mpsn",
-            "--seed", str(seed)])
-        validate_args(args)
-        curves = main(args)
+            "--seed", str(seed)]
+        try:
+            curves = run_isolated(argv, tag=f"flow-{nonlinearity}/s{seed}")
+        except RunFailed as e:
+            print(f"[flow-{nonlinearity}] seed {seed} FAILED rc={e.rc} "
+                  "— continuing", flush=True)
+            failed.append(seed)
+            continue
         results[str(seed)] = {
             "best_epoch": curves["best_epoch"],
             "best_val": curves["best_val"],
@@ -49,10 +55,12 @@ def run(nonlinearity: str, seeds, epochs=100):
                 "std_test_at_best": float(np.std(accs)),
                 "seeds": results}, f, indent=1)
         print(f"[flow-{nonlinearity}] seed {seed}: {results[str(seed)]}")
-    print(f"[flow-{nonlinearity}] COMPLETE")
+    print(f"[flow-{nonlinearity}] COMPLETE ({len(results)} runs, "
+          f"{len(failed)} failed: {failed})")
+    return failed
 
 
 if __name__ == "__main__":
     nl = sys.argv[1]
     seeds = [int(s) for s in sys.argv[2:]] or list(range(5))
-    run(nl, seeds)
+    sys.exit(1 if run(nl, seeds) else 0)

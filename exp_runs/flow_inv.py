@@ -7,25 +7,26 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
-from cwn_tpu.exp.parser import get_parser, validate_args
-from cwn_tpu.exp.run_exp import main
+from cwn_tpu.exp.isolate import RunFailed, run_isolated
 
 
 def run(seeds, epochs=100):
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "exp_results", "flow_gnn_inv.json")
     results = {}
+    failed = []
     if os.path.exists(out_path):
         with open(out_path) as f:
             results = json.load(f).get("seeds", {})
-    p = get_parser()
     for seed in seeds:
         if str(seed) in results:
             print(f"seed {seed}: cached")
             continue
-        args = p.parse_args([
+        argv = [
             "--dataset", "FLOW", "--model", "edge_mpnn",
             "--num_layers", "4", "--emb_dim", "64", "--lr", "0.001",
             "--batch_size", "64", "--flow_points", "1000",
@@ -33,9 +34,14 @@ def run(seeds, epochs=100):
             "--nonlinearity", "relu", "--drop_rate", "0.0",
             "--lr_scheduler_decay_steps", "20", "--epochs", str(epochs),
             "--train_eval_period", "20", "--exp_name", "flow_gnn_inv",
-            "--seed", str(seed)])
-        validate_args(args)
-        curves = main(args)
+            "--seed", str(seed)]
+        try:
+            curves = run_isolated(argv, tag=f"flow-inv/s{seed}")
+        except RunFailed as e:
+            print(f"[flow-inv] seed {seed} FAILED rc={e.rc} — continuing",
+                  flush=True)
+            failed.append(seed)
+            continue
         results[str(seed)] = {
             "best_epoch": curves["best_epoch"],
             "best_val": curves["best_val"],
@@ -50,9 +56,11 @@ def run(seeds, epochs=100):
                 "std_test_at_best": float(np.std(accs)),
                 "seeds": results}, f, indent=1)
         print(f"[flow-inv] seed {seed}: {results[str(seed)]}")
-    print("[flow-inv] COMPLETE")
+    print(f"[flow-inv] COMPLETE ({len(results)} runs, "
+          f"{len(failed)} failed: {failed})")
+    return failed
 
 
 if __name__ == "__main__":
     seeds = [int(s) for s in sys.argv[1:]] or list(range(5))
-    run(seeds)
+    sys.exit(1 if run(seeds) else 0)

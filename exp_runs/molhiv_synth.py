@@ -4,6 +4,11 @@ stand-in wired through the same OGB loader/encoders/evaluator path).
 
 Records ROC-AUC at best val per seed.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import os
 import sys

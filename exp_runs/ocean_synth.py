@@ -10,18 +10,18 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
-from cwn_tpu.exp.parser import get_parser, validate_args
-from cwn_tpu.exp.run_exp import main
+from cwn_tpu.exp.isolate import RunFailed, run_isolated
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "exp_results", "ocean_synth.json")
 
 
 def run_one(nonlinearity: str, seed: int, epochs: int):
-    p = get_parser()
-    args = p.parse_args([
+    argv = [
         "--dataset", "OCEAN-SYNTH", "--model", "edge_orient",
         "--epochs", str(epochs), "--batch_size", "64",
         "--num_layers", "4", "--emb_dim", "64", "--lr", "0.001",
@@ -29,9 +29,8 @@ def run_one(nonlinearity: str, seed: int, epochs: int):
         "--task_type", "classification", "--eval_metric", "accuracy",
         "--test_orient", "random",
         "--lr_scheduler", "StepLR", "--lr_scheduler_decay_steps", "50",
-        "--exp_name", f"ocean-synth-{nonlinearity}", "--seed", str(seed)])
-    validate_args(args)
-    curves = main(args)
+        "--exp_name", f"ocean-synth-{nonlinearity}", "--seed", str(seed)]
+    curves = run_isolated(argv, tag=f"ocean-{nonlinearity}/s{seed}")
     return {"best_epoch": curves["best_epoch"],
             "best_val": curves["best_val"],
             "test_at_best": curves["test_at_best"],
@@ -40,6 +39,7 @@ def run_one(nonlinearity: str, seed: int, epochs: int):
 
 def run(epochs: int, seeds, nls=("tanh", "id")):
     results = {}
+    failed = []
     if os.path.exists(OUT):
         with open(OUT) as f:
             results = json.load(f).get("runs", {})
@@ -49,11 +49,19 @@ def run(epochs: int, seeds, nls=("tanh", "id")):
             if k in results:
                 print(f"{k}: cached")
                 continue
-            results[k] = run_one(nl, seed, epochs)
+            try:
+                results[k] = run_one(nl, seed, epochs)
+            except RunFailed as e:
+                print(f"[ocean-synth] {k} FAILED rc={e.rc} — continuing",
+                      flush=True)
+                failed.append(k)
+                continue
             print(f"[ocean-synth] {k}: {results[k]}", flush=True)
             _dump(results, epochs)
     _dump(results, epochs)
-    print("[ocean-synth] COMPLETE")
+    print(f"[ocean-synth] COMPLETE ({len(results)} runs, "
+          f"{len(failed)} failed: {failed})")
+    return failed
 
 
 def _dump(results, epochs):
@@ -79,4 +87,4 @@ if __name__ == "__main__":
     # RSS with dispatch count (flow_inv was OOM-killed at ~81 GB).
     nls = tuple(a for a in rest if a in ("tanh", "id")) or ("tanh", "id")
     seeds = [int(s) for s in rest if s not in ("tanh", "id")]
-    run(epochs, seeds or [0, 1, 2, 3, 4], nls=nls)
+    sys.exit(1 if run(epochs, seeds or [0, 1, 2, 3, 4], nls=nls) else 0)

@@ -12,10 +12,12 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
+from cwn_tpu.exp.isolate import RunFailed, run_isolated
 from cwn_tpu.exp.parser import get_parser
-from cwn_tpu.exp.run_exp import main
 from cwn_tpu.exp.wrappers import RING_SIZES
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -34,6 +36,7 @@ def sweep(dataset: str, models):
     out = os.path.join(HERE, "exp_results",
                        f"{dataset.lower().replace('-', '_')}_sweep.json")
     results = {}
+    failed = []
     if os.path.exists(out):
         with open(out) as f:
             results = json.load(f).get("models", {})
@@ -61,12 +64,21 @@ def sweep(dataset: str, models):
             num_layers = 3 if model == "ring_sparse_cin" else size // 2
             accs = []
             for seed in range(args0.start_seed, args0.stop_seed + 1):
-                curves = main(parser.parse_args(
-                    copy.copy(base)
-                    + ["--max_ring_size", str(size),
-                       "--num_layers", str(num_layers),
-                       "--seed", str(seed)]))
+                argv = (copy.copy(base)
+                        + ["--max_ring_size", str(size),
+                           "--num_layers", str(num_layers),
+                           "--seed", str(seed)])
+                try:
+                    curves = run_isolated(
+                        argv, tag=f"{dataset}/{model}/{size}/s{seed}")
+                except RunFailed as e:
+                    print(f"[{dataset}] {model} size {size} seed {seed} "
+                          f"FAILED rc={e.rc} — continuing", flush=True)
+                    failed.append(f"{model}/{size}/s{seed}")
+                    continue
                 accs.append(curves["last_val"])
+            if not accs:
+                continue
             per_model[str(size)] = {"mean": float(np.mean(accs)),
                                     "std": float(np.std(accs))}
             print(f"[{dataset}] {model} size {size}: "
@@ -74,10 +86,13 @@ def sweep(dataset: str, models):
                   f"+/- {per_model[str(size)]['std']:.4f}", flush=True)
             flush()
     flush()
-    print(f"[{dataset}] COMPLETE")
+    print(f"[{dataset}] COMPLETE ({len(failed)} failed: {failed})")
+    return failed
 
 
 if __name__ == "__main__":
     datasets = sys.argv[1:] or ["RING-TRANSFER", "RING-LOOKUP"]
+    any_failed = []
     for ds in datasets:
-        sweep(ds, ["ring_sparse_cin", "gin_ring"])
+        any_failed += sweep(ds, ["ring_sparse_cin", "gin_ring"]) or []
+    sys.exit(1 if any_failed else 0)

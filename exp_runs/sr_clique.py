@@ -4,6 +4,11 @@ Per-family clique dims from /root/reference/exp/run_sr_exp.py:28-38; model
 config from /root/reference/exp/scripts/mpsn-sr.sh (5 layers, emb 16, elu,
 id norm, untrained fp64, isomorphism eval).  fp64 path -> CPU device.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import os
 import sys

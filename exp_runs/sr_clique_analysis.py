@@ -6,6 +6,11 @@ under test (BASELINE.md): every failing pair is a colliding pair, i.e.
 measured failure rate <= colliding_pair_fraction, and the families with
 zero collisions are exactly the ones the sweep solves.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import os
 

@@ -1,6 +1,11 @@
 """SR ring-5 full table: all 9 families x 5 seeds (cwn-sr.sh sweeps
 max_ring_size k in {4,5,6}; this completes the k=5 column next to
 sr_ring4.json / sr_ring6.json).  CPU (fp64), untrained isomorphism test."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import os
 import sys

@@ -1,4 +1,9 @@
 """SR ring-6 full table: all 9 families x 5 seeds (cwn-sr.sh protocol)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import os
 import sys

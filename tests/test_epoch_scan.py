@@ -45,11 +45,11 @@ def _leaves_close(a, b, atol):
 
 
 def test_epoch_scan_matches_per_batch_loop():
-    """With identical pad shapes the scanned epoch is BIT-EXACT vs the
-    per-batch loop (same composition, same BN threading, same rng-free
-    math at dropout 0).  A generous fixed plan pins the shapes; without
-    it the two paths pick different pow2 buckets per batch, whose fp
-    reassociation alone perturbs BN-amplified params."""
+    """With identical pad shapes and unroll=1 the scanned epoch is
+    BIT-EXACT vs the per-batch loop (same composition, same BN threading,
+    same rng-free math at dropout 0).  A generous fixed plan pins the
+    shapes; without it the two paths pick different pow2 buckets per
+    batch, whose fp reassociation alone perturbs BN-amplified params."""
     from cwn_tpu.batch import PadPlan
 
     complexes = _complexes()
@@ -58,6 +58,7 @@ def test_epoch_scan_matches_per_batch_loop():
                    num_boundary=(64, 256, 256))
     loader_a, trainer_a = _make(complexes, plan=plan)
     loader_b, trainer_b = _make(complexes, plan=plan)
+    trainer_a.unroll = 1     # k=1 sub-programs are the per-batch programs
 
     # A: scanned epochs (default when the loader supports it).
     for _ in range(2):
@@ -71,6 +72,38 @@ def test_epoch_scan_matches_per_batch_loop():
     np.testing.assert_allclose(losses_a, losses_b, atol=0)
     _leaves_close(trainer_a.params, trainer_b.params, atol=1e-7)
     _leaves_close(trainer_a.batch_stats, trainer_b.batch_stats, atol=1e-7)
+
+
+def test_megastep_unroll_matches_per_batch_loop():
+    """The k>1 megastep (several optimizer steps fused into one dispatch)
+    replays the same step sequence: same loss count/order and params equal
+    to the per-batch loop up to program-level fp reassociation (~1e-6 —
+    XLA may re-associate matmul accumulations inside the longer program;
+    the optimization_barrier between sub-steps keeps anything structural
+    from fusing across step boundaries).  graph_norm id: the tiny fixture
+    batches' near-zero-variance BN channels amplify those ulps chaotically
+    (see test_banked_epoch_scan_trains_like_per_batch); BN threading
+    itself is pinned bit-exactly by the unroll=1 test above."""
+    from cwn_tpu.batch import PadPlan
+
+    complexes = _complexes()
+    plan = PadPlan(batch_size=8, num_cells=(64, 64, 32),
+                   num_up=(256, 512, 64), num_down=(64, 512, 128),
+                   num_boundary=(64, 256, 256))
+    loader_a, trainer_a = _make(complexes, plan=plan, graph_norm="id")
+    loader_b, trainer_b = _make(complexes, plan=plan, graph_norm="id")
+    trainer_a.unroll = 3     # epoch of 5 batches -> megasteps of 3 + 2
+    trainer_b.unroll = 1
+
+    for _ in range(2):
+        losses_a = trainer_a.train_epoch(loader_a)
+    for _ in range(2):
+        losses_b = trainer_b.train_epoch(loader_b)
+
+    assert len(losses_a) == len(losses_b) > 1
+    np.testing.assert_allclose(losses_a, losses_b, atol=1e-4)
+    _leaves_close(trainer_a.params, trainer_b.params, atol=1e-4)
+    _leaves_close(trainer_a.batch_stats, trainer_b.batch_stats, atol=1e-4)
 
 
 def test_epoch_scan_spec_shapes():
