@@ -443,7 +443,8 @@ def add_tile_plans(batch: ComplexBatch, tile: int = 256, window: int = 256,
                    block: int = 256,
                    precision: str = "high",
                    feat_hint: int = 128,
-                   auto_geometry: bool = True) -> ComplexBatch:
+                   auto_geometry: bool = True,
+                   banded: bool = True) -> ComplexBatch:
     """Attach Pallas SpMM tile plans (forward + transpose) to every
     adjacency of the batch.  Orientation weights, when present, are folded
     into the plan weights (message = orient * x_src).
@@ -503,6 +504,18 @@ def add_tile_plans(batch: ComplexBatch, tile: int = 256, window: int = 256,
             two fused-message backward plans (sorted by src / by shared)."""
             w = mask if orient is None else mask * orient
             kw = dict(tile=tile, window=window, block=block, passes=passes)
+            if shared is None and banded:
+                # Identity channels over arena-ordered structures (each
+                # complex's cells contiguous) are near-banded: prefer the
+                # dense-tile kernel (cwn_tpu.ops.banded), fall back to the
+                # one-hot tiles when scattered or weights inexact.
+                from cwn_tpu.ops.banded import build_banded_plan
+                bkw = dict(block=128, window=min(window, 256),
+                           passes=passes)
+                bf = build_banded_plan(src, dst, w, n_src, n_dst, **bkw)
+                bb = build_banded_plan(dst, src, w, n_dst, n_src, **bkw)
+                if bf is not None and bb is not None:
+                    return bf, bb, None, None
             fwd = build_tile_plan(src, dst, w, n_src, n_dst,
                                   extra=shared, num_extra=n_shared, **kw)
             bwd = build_tile_plan(dst, src, w, n_dst, n_src, **kw)
@@ -695,9 +708,11 @@ def add_tile_plans_sharded(shards: Sequence[ComplexBatch], tile: int = 256,
     the per-(dim, channel) maximum, and the static `empty` flag is forced
     uniform (False) so pytree structures agree; all-masked padding tiles
     contribute zeros, so per-shard results are unchanged."""
+    # banded=False: _pad_plan_tiles harmonization is TilePlan-specific and
+    # per-shard banded tile counts would differ anyway.
     planned = [add_tile_plans(s, tile=tile, window=window, block=block,
                               precision=precision, feat_hint=feat_hint,
-                              auto_geometry=False)
+                              auto_geometry=False, banded=False)
                for s in shards]
     if len(planned) <= 1:
         return planned

@@ -330,7 +330,13 @@ def main(args) -> Dict:
         t0 = time.time()
         losses = trainer.train_epoch(train_loader)
         val = trainer.evaluate(val_loader)
-        test = trainer.evaluate(test_loader)
+        # Trajectory datasets expose the same split as val AND test
+        # (parity: the reference's FLOW/OCEAN do too) — don't pay the
+        # second eval pass for an identical number.
+        if list(dataset.val_ids) == list(dataset.test_ids):
+            test = dict(val)
+        else:
+            test = trainer.evaluate(test_loader)
         if (epoch + 1) % args.train_eval_period == 0:
             tr_metric = trainer.evaluate(mk_loader("train", False))["metric"]
         else:

@@ -59,7 +59,7 @@ def gather_down_attr(buf: CochainBuffers, x_down: Optional[jnp.ndarray]):
 
 def _identity_channel(x_source, plan, plan_t, n):
     """Fused Pallas gather+weight+segment-sum for identity messages."""
-    from cwn_tpu.ops.pallas_segment import segment_spmm_ad
+    from cwn_tpu.ops.banded import spmm_ad as segment_spmm_ad
     return segment_spmm_ad(x_source, plan, plan_t)[:n]
 
 
@@ -155,7 +155,7 @@ def factorized_up_channel_kernel(x, x_shared, kernel, bias, buf, cob_buf,
     segment sums — the part XLA lowers to slow scatter fusions — run as
     identity one-hot SpMMs over membership-position plans (full-occupancy
     tiles: the position stream is ascending by construction)."""
-    from cwn_tpu.ops.pallas_segment import segment_spmm_ad
+    from cwn_tpu.ops.banded import spmm_ad as segment_spmm_ad
     f = x.shape[-1]
     xs = x @ kernel[:f]
     xu = x_shared @ kernel[f:]

@@ -272,7 +272,7 @@ def pool_cells(x: jnp.ndarray, batch: jnp.ndarray, cell_mask: jnp.ndarray,
     ep_axis = _POOL_AXIS_NAME[-1]
     from cwn_tpu.mp import _plan_usable
     if _plan_usable(plan, x) and ep_axis is None:
-        from cwn_tpu.ops.pallas_segment import segment_spmm_ad
+        from cwn_tpu.ops.banded import spmm_ad as segment_spmm_ad
         out = segment_spmm_ad(x, plan, plan_t)[:batch_size]
         if readout == "mean":
             counts = segment_sum(cell_mask[:, None], batch, batch_size + 1,

@@ -206,7 +206,11 @@ class ComplexLoader:
             if self.n_shards > 1:
                 yield self._pack_sharded(batch_complexes)
                 continue
-            if self.shuffle and self._is_uniform():
+            if self._is_uniform():
+                # Shuffled AND fixed-order loaders: eval loaders over a
+                # uniform dataset get the shared-structure template path
+                # too (one SpMM per channel instead of a 64x-replicated
+                # block-diagonal plan — eval was most of the FLOW epoch).
                 batch = self._pack_uniform(batch_complexes, chunk)
             else:
                 batch = self._pack_one(batch_complexes)
@@ -242,6 +246,16 @@ class ComplexLoader:
         if self._uniform is None:
             self._uniform = _structures_identical(self.complexes,
                                                   self.max_dim)
+            if self._uniform and self.use_pallas and len(self.complexes) > 1:
+                # Re-gauge the shared structure to banded cell order ONCE,
+                # before any template/bank/plan is built (model outputs
+                # are invariant to cell numbering; the banded SpMM kernel
+                # is ~4x fewer tiles for it — cwn_tpu.lift.relabel).
+                # Safe vs sibling loaders on the same split: idempotent
+                # per complex, and the first uniform check always precedes
+                # the first pack (background epoch packing starts later).
+                from cwn_tpu.lift.relabel import rcm_relabel
+                rcm_relabel(self.complexes, self.max_dim)
         return self._uniform
 
     def _ensure_bank(self) -> bool:

@@ -92,15 +92,22 @@ class StepLR:
 
 
 class ReduceLROnPlateau:
-    """Torch-semantics plateau scheduler (mode from `minimize`)."""
+    """Torch-semantics plateau scheduler (mode from `minimize`).
+
+    Includes torch's default relative improvement threshold (1e-4,
+    threshold_mode='rel'): a metric must beat best by a relative margin
+    to reset patience — without it, infinitesimal improvements kept the
+    LR high for tens of extra epochs vs the reference's schedule."""
 
     def __init__(self, lr: float, mode: str = "min", factor: float = 0.5,
-                 patience: int = 10, min_lr: float = 1e-5):
+                 patience: int = 10, min_lr: float = 1e-5,
+                 threshold: float = 1e-4):
         self._lr = lr
         self.mode = mode
         self.factor = factor
         self.patience = patience
         self.min_lr = min_lr
+        self.threshold = threshold
         self.best: Optional[float] = None
         self.num_bad = 0
 
@@ -111,7 +118,9 @@ class ReduceLROnPlateau:
     def _is_better(self, m: float) -> bool:
         if self.best is None:
             return True
-        return m < self.best if self.mode == "min" else m > self.best
+        if self.mode == "min":
+            return m < self.best * (1.0 - self.threshold)
+        return m > self.best * (1.0 + self.threshold)
 
     def step(self, metric: Optional[float] = None):
         if metric is None:
@@ -164,6 +173,42 @@ def _fetch_all(arrs: List) -> List:
         for j, i in enumerate(idcs):
             out[i] = stacked[j]
     return [None if a is None else np.asarray(a) for a in out]
+
+
+def _fetch_lists(*lists: List) -> List[List]:
+    """Fetch several lists of device/host arrays in ONE device->host
+    transfer: every device entry is flattened to f32 and concatenated,
+    one np.asarray pulls the lot, and the pieces are re-split host-side.
+    Each small fetch is a full ~30 ms round trip over the tunneled chip,
+    so an eval pass (outputs + masks + labels across ragged batch shapes)
+    collapses from ~6-8 round trips to 1."""
+    # 64-bit payloads (the fp64 SR isomorphism path) must not transit
+    # f32; group-fetch those lists losslessly instead.
+    if any(a is not None and not isinstance(a, np.ndarray)
+           and np.dtype(str(a.dtype)).itemsize > 4
+           for arrs in lists for a in arrs):
+        return [_fetch_all(arrs) for arrs in lists]
+    pieces, slots = [], []
+    size = 0
+    for li, arrs in enumerate(lists):
+        for i, a in enumerate(arrs):
+            if a is None or isinstance(a, np.ndarray):
+                continue
+            n = int(np.prod(a.shape))
+            pieces.append(jnp.ravel(a).astype(jnp.float32))
+            slots.append((li, i, size, n, tuple(a.shape), a.dtype))
+            size += n
+    out = [list(arrs) for arrs in lists]
+    if pieces:
+        flat = np.asarray(jnp.concatenate(pieces))
+        for li, i, off, n, shape, dtype in slots:
+            # f32 transit is exact for model outputs (already f32), masks,
+            # and integer labels (|label| << 2^24); restore the dtype.
+            out[li][i] = flat[off:off + n].reshape(shape).astype(
+                np.dtype(str(dtype)))
+    for li, arrs in enumerate(out):
+        out[li] = [None if a is None else np.asarray(a) for a in arrs]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -474,9 +519,7 @@ class Trainer:
             outs.append(self._eval_step(self.params, self.batch_stats, batch))
             masks.append(batch.y_mask)
             ys.append(batch.y)
-        outs = _fetch_all(outs)
-        masks = _fetch_all(masks)
-        ys = _fetch_all(ys)
+        outs, masks, ys = _fetch_lists(outs, masks, ys)
         preds, trues = [], []
         for out, mask, y in zip(outs, masks, ys):
             n = int(mask.sum())
@@ -492,9 +535,13 @@ class Trainer:
         metric = self.evaluator.eval({"y_pred": y_pred, "y_true": y_true})
         loss = np.nan
         if self.loss_fn is not None and y_true is not None:
-            s, w = self.loss_fn(jnp.asarray(y_pred), jnp.asarray(y_true),
-                                jnp.ones(len(y_pred), jnp.float32))
-            loss = float(s) / max(float(w), 1.0)
+            # Host-side loss: y_pred/y_true are numpy already; running the
+            # jnp loss on the default (tunneled) device would cost two more
+            # ~30 ms round trips per eval.
+            with jax.default_device(jax.devices("cpu")[0]):
+                s, w = self.loss_fn(jnp.asarray(y_pred), jnp.asarray(y_true),
+                                    jnp.ones(len(y_pred), jnp.float32))
+                loss = float(s) / max(float(w), 1.0)
         return {"metric": metric, "loss": loss}
 
     def count_params(self) -> int:

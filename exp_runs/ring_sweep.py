@@ -29,6 +29,10 @@ BASE = [
     "--eval_metric", "accuracy", "--lr_scheduler", "None",
     "--drop_rate", "0.0", "--readout", "sum", "--final_readout", "sum",
     "--train_eval_period", "10",
+    # CPU backend: these models are tiny (emb 16) and per-step tunnel
+    # dispatch would dominate on the remote chip; running on CPU also
+    # lets the sweep proceed alongside the TPU protocol queue.
+    "--device", "-1",
 ]
 
 
@@ -94,5 +98,5 @@ if __name__ == "__main__":
     datasets = sys.argv[1:] or ["RING-TRANSFER", "RING-LOOKUP"]
     any_failed = []
     for ds in datasets:
-        any_failed += sweep(ds, ["ring_sparse_cin", "gin_ring"]) or []
+        any_failed += sweep(ds, ["ring_sparse_cin", "ring_gin"]) or []
     sys.exit(1 if any_failed else 0)
