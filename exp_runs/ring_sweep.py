@@ -29,6 +29,12 @@ BASE = [
     "--eval_metric", "accuracy", "--lr_scheduler", "None",
     "--drop_rate", "0.0", "--readout", "sum", "--final_readout", "sum",
     "--train_eval_period", "10",
+    # The CIN up message MUST carry coboundary features: edge->vertex
+    # information only flows through up_attr (the shared edge) in
+    # SparseCIN, so without coboundaries the transfer task is
+    # information-theoretically unsolvable at 3 layers (measured:
+    # chance accuracy at every size).
+    "--use_coboundaries", "True",
     # CPU backend: these models are tiny (emb 16) and per-step tunnel
     # dispatch would dominate on the remote chip; running on CPU also
     # lets the sweep proceed alongside the TPU protocol queue.
