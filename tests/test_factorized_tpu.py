@@ -75,3 +75,31 @@ def test_jitted_channel_matches_eager_at_csl_shapes():
     jitted = np.asarray(jax.jit(lambda a, b: factorized_up_channel(
         a, b, kernel, bias, d1, d2, act, n1))(x, xu))
     np.testing.assert_allclose(jitted, eager, atol=2.0, rtol=0.05)
+
+    # The KERNEL variant recomputes `own` with the same gather+act shape
+    # but feeds Pallas custom calls XLA cannot fuse into — assert it too
+    # (ADVICE r4: the barrier guards only the XLA variant; this pins that
+    # the kernel variant is immune at the offending shape scale).
+    from cwn_tpu.mp import factorized_up_channel_kernel
+    from cwn_tpu.ops.banded import build_banded_plan
+    from cwn_tpu.ops.tiles import build_tile_plan_auto
+
+    def iplan(src, dst, w, ns, nd):
+        p = build_banded_plan(src, dst, w, ns, nd)
+        pt = build_banded_plan(dst, src, w, nd, ns)
+        if p is None or pt is None:
+            p = build_tile_plan_auto(src, dst, w, ns, nd)
+            pt = build_tile_plan_auto(dst, src, w, nd, ns)
+        return p, pt
+
+    m = len(b_src)
+    pos = np.arange(m, dtype=np.int64)
+    fs, fst = iplan(pos, b_dst, b_mask, m, n2)
+    fo, fot = iplan(pos, d1.fac_src, d1.fac_mask, m, n1)
+    fg, fgt = iplan(d1.fac_cob, d1.fac_src, d1.fac_mask, n2, n1)
+    d1k = dataclasses.replace(d1, fac_s_plan=fs, fac_s_plan_t=fst,
+                              fac_o_plan=fo, fac_o_plan_t=fot,
+                              fac_g_plan=fg, fac_g_plan_t=fgt)
+    kern = np.asarray(jax.jit(lambda a, b: factorized_up_channel_kernel(
+        a, b, kernel, bias, d1k, d2, act, n1))(x, xu))
+    np.testing.assert_allclose(kern, eager, atol=2.0, rtol=0.05)
