@@ -504,11 +504,16 @@ def add_tile_plans(batch: ComplexBatch, tile: int = 256, window: int = 256,
             two fused-message backward plans (sorted by src / by shared)."""
             w = mask if orient is None else mask * orient
             kw = dict(tile=tile, window=window, block=block, passes=passes)
-            if shared is None and banded:
+            if shared is None and banded and feat_hint >= 256:
                 # Identity channels over arena-ordered structures (each
                 # complex's cells contiguous) are near-banded: prefer the
                 # dense-tile kernel (cwn_tpu.ops.banded), fall back to the
                 # one-hot tiles when scattered or weights inexact.
+                # feat_hint gate: dense A-tiles only beat the one-hot
+                # formulation when the value operand is wide (measured: a
+                # regression at F=48 — DMA-latency-bound 49 KB windows and
+                # a half-empty MXU; a ~10x win at F=4096 flattened
+                # uniform widths, which add_uniform_tile_plans handles).
                 from cwn_tpu.ops.banded import build_banded_plan
                 bkw = dict(block=128, window=min(window, 256),
                            passes=passes)
