@@ -52,12 +52,17 @@ def sweep(dataset: str, models):
             results = json.load(f).get("models", {})
 
     def flush():
+        note = (f"{dataset} sizes 10-30, 2 seeds, last-epoch test "
+                "acc (run_ring_exp protocol; CIN 3 layers, GIN "
+                "size/2 layers)")
+        if dataset == "RING-LOOKUP":
+            note += (".  NOTE: the reference marks this generator 'no "
+                     "longer being used for now' "
+                     "(/root/reference/data/datasets/ring_utils.py:10) "
+                     "and publishes no number; recorded for completeness "
+                     "— the paper's ring experiment is RING-TRANSFER.")
         with open(out, "w") as f:
-            json.dump({
-                "note": f"{dataset} sizes 10-30, 2 seeds, last-epoch test "
-                        "acc (run_ring_exp protocol; CIN 3 layers, GIN "
-                        "size/2 layers)",
-                "models": results}, f, indent=1)
+            json.dump({"note": note, "models": results}, f, indent=1)
 
     parser = get_parser()
     for model in models:
