@@ -64,16 +64,21 @@ def test_jitted_channel_matches_eager_at_csl_shapes():
     d2 = buf(cell_mask=np.ones(n2, np.float32), batch=np.zeros(n2, np.int32),
              b_src=b_src, b_dst=b_dst, b_mask=b_mask)
 
-    x = jnp.asarray(rng.normal(size=(n1, f)).astype(np.float32))
-    xu = jnp.asarray(rng.normal(size=(n2, f)).astype(np.float32))
-    kernel = jnp.asarray(rng.normal(size=(2 * f, f)).astype(np.float32) * 0.1)
-    bias = jnp.asarray(rng.normal(size=(f,)).astype(np.float32))
-    act = lambda v: jnp.maximum(v, 0.0)
+    # conftest pins the default device to CPU; this canary must compile
+    # and execute on the REAL chip.
+    tpu = jax.devices()[0]
+    with jax.default_device(tpu):
+        x = jnp.asarray(rng.normal(size=(n1, f)).astype(np.float32))
+        xu = jnp.asarray(rng.normal(size=(n2, f)).astype(np.float32))
+        kernel = jnp.asarray(
+            rng.normal(size=(2 * f, f)).astype(np.float32) * 0.1)
+        bias = jnp.asarray(rng.normal(size=(f,)).astype(np.float32))
+        act = lambda v: jnp.maximum(v, 0.0)
 
-    eager = np.asarray(factorized_up_channel(x, xu, kernel, bias, d1, d2,
-                                             act, n1))
-    jitted = np.asarray(jax.jit(lambda a, b: factorized_up_channel(
-        a, b, kernel, bias, d1, d2, act, n1))(x, xu))
+        eager = np.asarray(factorized_up_channel(x, xu, kernel, bias,
+                                                 d1, d2, act, n1))
+        jitted = np.asarray(jax.jit(lambda a, b: factorized_up_channel(
+            a, b, kernel, bias, d1, d2, act, n1))(x, xu))
     np.testing.assert_allclose(jitted, eager, atol=2.0, rtol=0.05)
 
     # The KERNEL variant recomputes `own` with the same gather+act shape
@@ -100,6 +105,7 @@ def test_jitted_channel_matches_eager_at_csl_shapes():
     d1k = dataclasses.replace(d1, fac_s_plan=fs, fac_s_plan_t=fst,
                               fac_o_plan=fo, fac_o_plan_t=fot,
                               fac_g_plan=fg, fac_g_plan_t=fgt)
-    kern = np.asarray(jax.jit(lambda a, b: factorized_up_channel_kernel(
-        a, b, kernel, bias, d1k, d2, act, n1))(x, xu))
+    with jax.default_device(tpu):
+        kern = np.asarray(jax.jit(lambda a, b: factorized_up_channel_kernel(
+            a, b, kernel, bias, d1k, d2, act, n1))(x, xu))
     np.testing.assert_allclose(kern, eager, atol=2.0, rtol=0.05)
