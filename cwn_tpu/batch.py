@@ -90,6 +90,16 @@ class CochainBuffers:
     fac_o_plan_t: Optional[object] = None
     fac_g_plan: Optional[object] = None
     fac_g_plan_t: Optional[object] = None
+    # Launch-consolidated factorized reductions: fac_g and fac_o write the
+    # SAME destination cell space, so one windowed kernel over the
+    # concatenated source arena [S_c ; own] produces both sums in adjacent
+    # output sections (out_up = sec0 - sec1) — half the custom-call
+    # launches of the pair.  fac_go_split = (src boundary, dst boundary)
+    # between the fac_g and fac_o sections (static).
+    fac_go_plan: Optional[object] = None
+    fac_go_plan_t: Optional[object] = None
+    fac_go_split: Optional[Tuple[int, int]] = struct.field(
+        pytree_node=False, default=None)
     up_plan: Optional[object] = None
     up_plan_t: Optional[object] = None
     down_plan: Optional[object] = None
@@ -158,6 +168,32 @@ class ComplexBatch:
     y_mask: np.ndarray                 # [batch_size] float32, 1 = real complex
     batch_size: int = struct.field(pytree_node=False)
     max_dim: int = struct.field(pytree_node=False)
+    # Launch-consolidated readout pooling: every dim's cells -> complex
+    # segment sum as ONE windowed kernel over the concatenated cell arenas
+    # (per-dim pool_plans concatenated; cwn_tpu.ops.tiles
+    # .concat_window_plans).  *_off are the static section offsets
+    # (len dims + 1): sources at [src_off[k], src_off[k+1]), outputs at
+    # [dst_off[k], dst_off[k] + batch_size).
+    pool_all_plan: Optional[object] = None
+    pool_all_plan_t: Optional[object] = None
+    pool_all_src_off: Optional[Tuple[int, ...]] = struct.field(
+        pytree_node=False, default=None)
+    pool_all_dst_off: Optional[Tuple[int, ...]] = struct.field(
+        pytree_node=False, default=None)
+    # Launch-consolidated boundary channels: every dim's identity boundary
+    # segment-sum (dim k reads the PRE-layER features of dim k-1, so there
+    # is no cross-dim dependency within a conv layer) as ONE windowed
+    # kernel.  b_all_dims lists the covered dims (those with boundary
+    # structure, k >= 1); source section i holds x_{b_all_dims[i]-1},
+    # output section i the dim-b_all_dims[i] boundary sum.
+    b_all_plan: Optional[object] = None
+    b_all_plan_t: Optional[object] = None
+    b_all_dims: Optional[Tuple[int, ...]] = struct.field(
+        pytree_node=False, default=None)
+    b_all_src_off: Optional[Tuple[int, ...]] = struct.field(
+        pytree_node=False, default=None)
+    b_all_dst_off: Optional[Tuple[int, ...]] = struct.field(
+        pytree_node=False, default=None)
 
     @property
     def num_complexes(self) -> int:
@@ -444,7 +480,8 @@ def add_tile_plans(batch: ComplexBatch, tile: int = 256, window: int = 256,
                    precision: str = "high",
                    feat_hint: int = 128,
                    auto_geometry: bool = True,
-                   banded: bool = True) -> ComplexBatch:
+                   banded: bool = True,
+                   combine: bool = False) -> ComplexBatch:
     """Attach Pallas SpMM tile plans (forward + transpose) to every
     adjacency of the batch.  Orientation weights, when present, are folded
     into the plan weights (message = orient * x_src).
@@ -461,9 +498,18 @@ def add_tile_plans(batch: ComplexBatch, tile: int = 256, window: int = 256,
     auto_geometry=False pins the block-grid kernel geometry to the given
     tile/window/block instead of the data-driven occupancy search — plan
     STATIC shapes then depend only on the PadPlan + argument geometry
-    (tile counts still vary with data; see add_tile_plans_sharded)."""
+    (tile counts still vary with data; see add_tile_plans_sharded).
+
+    combine=True additionally builds launch-consolidated plans (one
+    windowed kernel for fac_g+fac_o, one for all dims' readout pooling,
+    one for all dims' boundary channels, via concat_window_plans) — the
+    models use them automatically when present.  Off by default: measured
+    on the ZINC bench step the wall-time effect is inside the HBM
+    placement lottery (PERF.md round 5), so the extra plans buy nothing
+    reliable there; the machinery is kept for launch-latency-bound
+    environments."""
     from cwn_tpu.ops.tiles import (PRECISION_PASSES, build_tile_plan_auto,
-                                   build_window_plan)
+                                   build_window_plan, concat_window_plans)
     from cwn_tpu.ops import tiles as _tiles
 
     passes = PRECISION_PASSES[precision]
@@ -567,6 +613,23 @@ def add_tile_plans(batch: ComplexBatch, tile: int = 256, window: int = 256,
             fg, fgt, _, _ = plans(d.fac_cob, d.fac_src, d.fac_mask, None,
                                   n_up, n_k)
 
+        # Launch consolidation: fac_g + fac_o share the dst cell space —
+        # one kernel over the concatenated source arena [S_c ; own]
+        # produces both reductions in adjacent output sections
+        # (out_up = sec0 - sec1; see mp.factorized_up_channel_kernel).
+        fgo = fgo_t = fgo_split = None
+        if combine and fg is not None and fo is not None:
+            fgo = concat_window_plans([fg, fo], [0, fg.num_src],
+                                      [0, fg.num_dst])
+            if fgo is not None and fgo.num_src + fgo.num_dst <= vmem_rows:
+                # Transpose arena = the forward's, with roles swapped.
+                fgo_t = concat_window_plans([fgt, fot], [0, fg.num_dst],
+                                            [0, fg.num_src])
+            if fgo is None or fgo_t is None:
+                fgo = fgo_t = None
+            else:
+                fgo_split = (fg.num_src, fg.num_dst)
+
         new_dims.append(d.replace(
             up_plan=up_p, up_plan_t=up_pt,
             up_plan_bs=up_bs, up_plan_bc=up_bc,
@@ -576,8 +639,50 @@ def add_tile_plans(batch: ComplexBatch, tile: int = 256, window: int = 256,
             pool_plan=pool_p, pool_plan_t=pool_pt,
             fac_s_plan=fs, fac_s_plan_t=fst,
             fac_o_plan=fo, fac_o_plan_t=fot,
-            fac_g_plan=fg, fac_g_plan_t=fgt))
-    return batch.replace(dims=tuple(new_dims))
+            fac_g_plan=fg, fac_g_plan_t=fgt,
+            fac_go_plan=fgo, fac_go_plan_t=fgo_t, fac_go_split=fgo_split))
+
+    # Launch consolidation: every dim's readout pooling as ONE kernel over
+    # the concatenated cell arenas (used by nn.pool_cells_all; per-dim
+    # plans remain as the fallback and for sharded harmonization).
+    def combine_plans(ps, pts):
+        """One plan over concatenated arenas, or (None,)*4 when ungateable."""
+        so = [0]
+        do = [0]
+        for p in ps:
+            so.append(so[-1] + p.num_src)
+            do.append(do[-1] + p.num_dst)
+        pa = concat_window_plans(ps, so[:-1], do[:-1])
+        if pa is None or pa.num_src + pa.num_dst > vmem_rows:
+            return None, None, None, None
+        pat = concat_window_plans(pts, do[:-1], so[:-1])
+        if pat is None:
+            return None, None, None, None
+        return pa, pat, tuple(so), tuple(do)
+
+    pool_all = pool_all_t = None
+    src_off = dst_off = None
+    pool_ps = [d.pool_plan for d in new_dims]
+    if combine and pool_ps and all(p is not None for p in pool_ps):
+        pool_all, pool_all_t, src_off, dst_off = combine_plans(
+            pool_ps, [d.pool_plan_t for d in new_dims])
+
+    b_all = b_all_t = None
+    b_dims = b_so = b_do = None
+    bd = [k for k in range(1, len(new_dims))
+          if new_dims[k].b_plan is not None]
+    if combine and bd:
+        b_all, b_all_t, b_so, b_do = combine_plans(
+            [new_dims[k].b_plan for k in bd],
+            [new_dims[k].b_plan_t for k in bd])
+        b_dims = tuple(bd) if b_all is not None else None
+
+    return batch.replace(dims=tuple(new_dims),
+                         pool_all_plan=pool_all, pool_all_plan_t=pool_all_t,
+                         pool_all_src_off=src_off, pool_all_dst_off=dst_off,
+                         b_all_plan=b_all, b_all_plan_t=b_all_t,
+                         b_all_dims=b_dims, b_all_src_off=b_so,
+                         b_all_dst_off=b_do)
 
 
 def add_uniform_tile_plans(batch: ComplexBatch, template: Complex,
@@ -715,9 +820,12 @@ def add_tile_plans_sharded(shards: Sequence[ComplexBatch], tile: int = 256,
     contribute zeros, so per-shard results are unchanged."""
     # banded=False: _pad_plan_tiles harmonization is TilePlan-specific and
     # per-shard banded tile counts would differ anyway.
+    # combine=False: combined plans are per-shard tile-count-dependent and
+    # would break the cross-shard pytree harmonization below.
     planned = [add_tile_plans(s, tile=tile, window=window, block=block,
                               precision=precision, feat_hint=feat_hint,
-                              auto_geometry=False, banded=False)
+                              auto_geometry=False, banded=False,
+                              combine=False)
                for s in shards]
     if len(planned) <= 1:
         return planned

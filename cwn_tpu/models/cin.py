@@ -57,7 +57,7 @@ class SparseCINCochainConv(nn.Module):
 
     @nn.compact
     def __call__(self, buf, x, x_up, boundary_attr, train: bool = False,
-                 cob_buf=None):
+                 cob_buf=None, bnd_out=None):
         act = get_nonlinearity(self.act)
         layer_dim = x.shape[-1]
 
@@ -114,12 +114,17 @@ class SparseCINCochainConv(nn.Module):
                 return up_x_j
 
         out_up, _, out_bnd = propagate(
-            buf, x, up_attr=up_attr, boundary_attr=boundary_attr,
+            buf, x, up_attr=up_attr,
+            boundary_attr=None if bnd_out is not None else boundary_attr,
             message_up=message_up,
-            message_boundary=(lambda b: b) if boundary_attr is not None else None,
+            message_boundary=((lambda b: b)
+                              if boundary_attr is not None
+                              and bnd_out is None else None),
             up_identity=not self.use_coboundaries, boundary_identity=True)
         if fused_up is not None:
             out_up = fused_up
+        if bnd_out is not None:
+            out_bnd = bnd_out      # consolidated cross-dim boundary kernel
 
         out_up = out_up + (1.0 + eps1) * x
         out_bnd = out_bnd + (1.0 + eps2) * x
@@ -167,7 +172,7 @@ class CINppCochainConv(nn.Module):
 
     @nn.compact
     def __call__(self, buf, x, x_up, x_down, boundary_attr,
-                 train: bool = False, cob_buf=None):
+                 train: bool = False, cob_buf=None, bnd_out=None):
         act = get_nonlinearity(self.act)
         layer_dim = x.shape[-1]
 
@@ -236,16 +241,20 @@ class CINppCochainConv(nn.Module):
 
         out_up, out_down, out_bnd = propagate(
             buf, x, up_attr=up_attr, down_attr=down_attr,
-            boundary_attr=boundary_attr,
+            boundary_attr=None if bnd_out is not None else boundary_attr,
             message_up=message_up,
             message_down=None if self.ref_quirk_no_down_msg else message_down,
-            message_boundary=(lambda b: b) if boundary_attr is not None else None,
+            message_boundary=((lambda b: b)
+                              if boundary_attr is not None
+                              and bnd_out is None else None),
             up_identity=not self.use_coboundaries,
             down_identity=not self.use_coboundaries, boundary_identity=True)
         if fused_up is not None:
             out_up = fused_up
         if fused_down is not None and not self.ref_quirk_no_down_msg:
             out_down = fused_down
+        if bnd_out is not None:
+            out_bnd = bnd_out      # consolidated cross-dim boundary kernel
 
         out_up = out_up + (1.0 + eps1) * x
         out_down = out_down + (1.0 + eps2) * x
@@ -287,6 +296,14 @@ class SparseCINLayer(nn.Module):
     def __call__(self, data: ComplexBatch, xs, train: bool = False,
                  start_to_process: int = 0):
         out = []
+        # Launch-consolidated boundary channels: all dims' identity
+        # boundary sums in ONE kernel (they read pre-layer features, so
+        # there is no cross-dim dependency).  None when the batch has no
+        # combined plan — per-dim propagate runs as before.
+        bnd_all = None
+        if self.include_boundary_features and start_to_process == 0:
+            from cwn_tpu.mp import boundary_all
+            bnd_all = boundary_all(data, xs)
         # A batch may carry fewer dims than the model's max_dim (e.g. a
         # clique lift that found no cells above some dimension); missing
         # dims behave as empty, matching the reference's zero-fill
@@ -300,6 +317,8 @@ class SparseCINLayer(nn.Module):
             x_up = xs[k + 1] if k + 1 < len(xs) else None
             x_down = xs[k - 1] if k > 0 else None
             b_attr = xs[k - 1] if (k > 0 and self.include_boundary_features) else None
+            bnd_k = (bnd_all.get(k) if bnd_all is not None
+                     and b_attr is not None else None)
             if self.include_down:
                 conv = CINppCochainConv(
                     dim=k, hidden=self.hidden, act=self.act, norm=self.norm,
@@ -308,14 +327,14 @@ class SparseCINLayer(nn.Module):
                     ref_quirk_no_down_msg=self.ref_quirk_no_down_msg,
                     name=f"dim{k}")
                 out.append(conv(buf, xs[k], x_up, x_down, b_attr, train=train,
-                                cob_buf=cob_buf))
+                                cob_buf=cob_buf, bnd_out=bnd_k))
             else:
                 conv = SparseCINCochainConv(
                     dim=k, hidden=self.hidden, act=self.act, norm=self.norm,
                     use_coboundaries=self.use_coboundaries,
                     train_eps=self.train_eps, name=f"dim{k}")
                 out.append(conv(buf, xs[k], x_up, b_attr, train=train,
-                                cob_buf=cob_buf))
+                                cob_buf=cob_buf, bnd_out=bnd_k))
         return out
 
 

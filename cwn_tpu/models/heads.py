@@ -31,13 +31,16 @@ class CINReadoutHead(nn.Module):
     def __call__(self, xs, data: ComplexBatch, train: bool = False,
                  include_partial: bool = False, res=None):
         act = get_nonlinearity(self.nonlinearity)
-        pooled = [
-            pool_cells(xs[k], data.dims[k].batch, data.dims[k].cell_mask,
-                       data.batch_size, self.readout,
-                       plan=data.dims[k].pool_plan,
-                       plan_t=data.dims[k].pool_plan_t)
-            for k in range(len(xs))
-        ]
+        from cwn_tpu.nn import pool_cells_all
+        pooled = pool_cells_all(xs, data, self.readout)
+        if pooled is None:
+            pooled = [
+                pool_cells(xs[k], data.dims[k].batch, data.dims[k].cell_mask,
+                           data.batch_size, self.readout,
+                           plan=data.dims[k].pool_plan,
+                           plan_t=data.dims[k].pool_plan_t)
+                for k in range(len(xs))
+            ]
         # Readout dims beyond the batch's dims pool to zeros (the
         # reference's pool_complex zero-fills missing dims,
         # /root/reference/mp/nn.py:50-60).

@@ -170,6 +170,17 @@ def factorized_up_channel_kernel(x, x_shared, kernel, bias, buf, cob_buf,
     t1 = t(cob_buf.b_src, cob_buf.b_dst, cob_buf.b_mask)
     s_c = segment_spmm_ad(t1, buf.fac_s_plan, buf.fac_s_plan_t)[:n_up]
     own = t(buf.fac_src, buf.fac_cob, buf.fac_mask)
+    if buf.fac_go_plan is not None:
+        # Launch-consolidated form: one kernel over the concatenated
+        # source arena [S_c ; own] yields both reductions in adjacent
+        # output sections (plan built by batch.add_tile_plans).
+        from cwn_tpu.ops.pallas_segment import _pad_rows
+        s_split, d_split = buf.fac_go_split
+        cat = jnp.concatenate(
+            [_pad_rows(s_c, s_split),
+             _pad_rows(own, buf.fac_go_plan.num_src - s_split)], axis=0)
+        outc = segment_spmm_ad(cat, buf.fac_go_plan, buf.fac_go_plan_t)
+        return outc[:n] - outc[d_split:d_split + n]
     return (segment_spmm_ad(s_c, buf.fac_g_plan, buf.fac_g_plan_t)[:n]
             - segment_spmm_ad(own, buf.fac_o_plan, buf.fac_o_plan_t)[:n])
 
@@ -335,6 +346,38 @@ def propagate(buf: CochainBuffers,
                 msg, buf.b_dst, n, mask=buf.b_mask, indices_are_sorted=True)
 
     return up_out, down_out, boundary_out
+
+
+def boundary_all(data, xs):
+    """Launch-consolidated identity boundary channels: every dim's
+    segsum_{b_dst}(x_{k-1}[b_src]) as ONE windowed kernel over the
+    concatenated pre-layer cell arenas (plan built by
+    batch.add_tile_plans; there is no cross-dim dependency because dim k
+    reads dim k-1's PRE-layer features).
+
+    Returns {k: [n_k, F]} for the covered dims, or None when the batch
+    carries no combined plan or a gate fails (dtype, EP mode, feature
+    width) — callers fall back to per-dim propagate."""
+    plan = getattr(data, "b_all_plan", None)
+    if plan is None or data.b_all_dims is None:
+        return None
+    srcs = [xs[k - 1] for k in data.b_all_dims if k - 1 < len(xs)]
+    if (len(srcs) != len(data.b_all_dims)
+            or any(data.dims[k].ep_axis is not None for k in data.b_all_dims)
+            or not all(_plan_usable(plan, x) for x in srcs)):
+        return None
+    from cwn_tpu.ops.banded import spmm_ad as segment_spmm_ad
+    so, do = data.b_all_src_off, data.b_all_dst_off
+    parts = []
+    for i, x in enumerate(srcs):
+        span = so[i + 1] - so[i]
+        if x.shape[0] < span:
+            x = jnp.pad(x, ((0, span - x.shape[0]), (0, 0)))
+        parts.append(x[:span])
+    out = segment_spmm_ad(jnp.concatenate(parts, axis=0), plan,
+                          data.b_all_plan_t)
+    return {k: out[do[i]:do[i] + data.dims[k].cell_mask.shape[0]]
+            for i, k in enumerate(data.b_all_dims)}
 
 
 def boundary_reduce(boundary_x: jnp.ndarray, buf: CochainBuffers,

@@ -260,6 +260,36 @@ class UpdateMLP(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def pool_cells_all(xs, data, readout: str = "sum"):
+    """Launch-consolidated readout: every dim's masked segment-sum pooling
+    as ONE Pallas kernel over the concatenated cell arenas.
+
+    Returns the per-dim pooled list [batch_size, F], or None when the
+    batch carries no combined pooling plan (heterogeneous shards, uniform
+    datasets, EP mode) or a gate fails — callers fall back to per-dim
+    pool_cells.  Mask weights are baked into the plan, exactly as in the
+    per-dim plans."""
+    plan = getattr(data, "pool_all_plan", None)
+    so = getattr(data, "pool_all_src_off", None)
+    if (plan is None or readout != "sum" or _POOL_AXIS_NAME[-1] is not None
+            or so is None or len(xs) != len(so) - 1):
+        return None
+    from cwn_tpu.mp import _plan_usable
+    if not all(_plan_usable(plan, x) for x in xs):
+        return None
+    parts = []
+    for k, x in enumerate(xs):
+        span = so[k + 1] - so[k]
+        if x.shape[0] < span:
+            x = jnp.pad(x, ((0, span - x.shape[0]), (0, 0)))
+        parts.append(x[:span])
+    from cwn_tpu.ops.banded import spmm_ad as segment_spmm_ad
+    out = segment_spmm_ad(jnp.concatenate(parts, axis=0), plan,
+                          data.pool_all_plan_t)
+    do = data.pool_all_dst_off
+    return [out[do[k]:do[k] + data.batch_size] for k in range(len(xs))]
+
+
 def pool_cells(x: jnp.ndarray, batch: jnp.ndarray, cell_mask: jnp.ndarray,
                batch_size: int, readout: str = "sum",
                plan=None, plan_t=None) -> jnp.ndarray:
